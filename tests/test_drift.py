@@ -1,0 +1,91 @@
+"""Drift checks: pure-math kernels against known values, then the
+Spark-side chi2/KS paths with shifted vs unshifted snapshots."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from xsd2json_spark.engine import ValidationEngine
+from xsd2json_spark.engine.drift import (
+    chi2_drift,
+    ks_drift,
+    make_categorical_baseline,
+    make_numeric_baseline,
+)
+from xsd2json_spark.engine.stats_math import chi2_sf, gammainc_q, ks_pvalue
+from xsd2json_spark.sources.synth import files_table
+from xsd2json_spark.spec.constraints import Drift, Spec
+
+
+def test_chi2_sf_known_values():
+    # chi2 sf reference values (scipy.stats.chi2.sf ground truth)
+    assert math.isclose(chi2_sf(3.841458820694124, 1), 0.05, rel_tol=1e-9)
+    assert math.isclose(chi2_sf(15.086272469388987, 5), 0.01, rel_tol=1e-9)
+    assert math.isclose(chi2_sf(0.0, 3), 1.0)
+    assert chi2_sf(1000.0, 2) < 1e-100
+
+
+def test_gammainc_q_complement():
+    for a, x in [(0.5, 0.3), (2.0, 1.0), (5.0, 10.0), (10.0, 3.0)]:
+        q = gammainc_q(a, x)
+        assert 0.0 <= q <= 1.0
+
+
+def test_ks_pvalue_behaviour():
+    assert ks_pvalue(0.0, 100, 100) == 1.0
+    assert ks_pvalue(0.5, 1000, 1000) < 1e-10
+    p_small = ks_pvalue(0.05, 100, 100)
+    p_big = ks_pvalue(0.05, 10000, 10000)
+    assert p_big < p_small  # same D, more data -> more significant
+
+
+@pytest.fixture(scope="module")
+def files(spark):
+    df = files_table(spark, n_rows=5000).cache()
+    df.count()
+    return df
+
+
+def test_chi2_no_drift(spark, files):
+    base = make_categorical_baseline(files, "lang")
+    c = Drift(id="d", column="lang", test="chi2", baseline="b", alpha=0.01)
+    stat, p = chi2_drift(files, c, base)
+    assert p > 0.99  # identical distribution
+
+
+def test_chi2_drift_detected(spark, files):
+    base = make_categorical_baseline(files, "lang")
+    shifted = files.withColumn(
+        "lang", F.when(F.col("lang") == "python", F.lit("java")).otherwise(F.col("lang"))
+    )
+    c = Drift(id="d", column="lang", test="chi2", baseline="b", alpha=0.01)
+    stat, p = chi2_drift(shifted, c, base)
+    assert p < 0.01
+
+
+def test_ks_no_drift(spark, files):
+    base = make_numeric_baseline(files, "length(content)")
+    c = Drift(id="d", column="content", expr="length(content)", test="ks", baseline="b", alpha=0.01)
+    d, p = ks_drift(files, c, base)
+    assert d < 0.01 and p > 0.5
+
+
+def test_ks_drift_detected(spark, files):
+    base = make_numeric_baseline(files, "length(content)")
+    shifted = files.withColumn("content", F.concat(F.col("content"), F.repeat(F.lit("pad"), 50)))
+    c = Drift(id="d", column="content", expr="length(content)", test="ks", baseline="b", alpha=0.01)
+    d, p = ks_drift(shifted, c, base)
+    assert d > 0.3 and p < 1e-6
+
+
+def test_drift_inside_engine(spark, files):
+    base = {"lang_base": make_categorical_baseline(files, "lang")}
+    spec = Spec(
+        name="t",
+        key_columns=["repo", "path", "commit"],
+        constraints=[Drift(id="drift_lang", column="lang", test="chi2", baseline="lang_base", alpha=0.01)],
+    )
+    res = ValidationEngine(spark, spec, baselines=base).run(files)
+    vm = {r["constraint_id"]: r for r in res.verdicts.collect()}
+    assert vm["drift_lang"]["passed"]

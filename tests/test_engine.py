@@ -1,0 +1,270 @@
+"""End-to-end engine tests over the deterministic synthetic files table.
+
+These mirror the reference's facet fixtures (FIXTURES.md) — each
+constraint kind gets a pass AND a fail case with exactly countable
+injected violations.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xsd2json_spark.engine.validate import EngineConfig, ValidationEngine
+from xsd2json_spark.sources.synth import FK_MISSING_REPOS, commits_dim, files_table, repos_dim
+from xsd2json_spark.spec.constraints import (
+    AllOf,
+    AnyOf,
+    Cardinality,
+    Constant,
+    Dtype,
+    Enum,
+    ForeignKey,
+    Length,
+    NotNull,
+    Pattern,
+    Range,
+    Spec,
+    Unique,
+)
+
+N = 10_000
+
+
+@pytest.fixture(scope="module")
+def files(spark):
+    df = files_table(spark, n_rows=N).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def dims(spark, files):
+    return {"repos_dim": repos_dim(spark), "commits_dim": commits_dim(spark, files)}
+
+
+def _expected_count(modulus, n=N, skip_zero=False):
+    c = len(range(0, n, modulus))
+    return c - 1 if skip_zero else c
+
+
+def verdict_map(result):
+    return {r["constraint_id"]: r for r in result.verdicts.collect()}
+
+
+def test_not_null_fixture(spark, files):
+    spec = Spec(name="t", key_columns=["repo", "path", "commit"], constraints=[NotNull(id="nn", column="content")])
+    res = ValidationEngine(spark, spec).run(files)
+    v = verdict_map(res)["nn"]
+    # ids 0, 997, 1994, ... have NULL content
+    assert v["violation_count"] == _expected_count(997)
+    assert not v["passed"]
+    assert res.violations.filter(F.col("constraint_id") == "nn").count() == _expected_count(997)
+
+
+def test_enum_fixture(spark, files):
+    spec = Spec(
+        name="t",
+        key_columns=["repo", "path", "commit"],
+        constraints=[Enum(id="lang_enum", column="lang", values=["python", "java", "scala", "go", "js", "sql"])],
+    )
+    res = ValidationEngine(spark, spec).run(files)
+    assert verdict_map(res)["lang_enum"]["violation_count"] == _expected_count(499)
+
+
+def test_pattern_and_length_fixture(spark, files):
+    spec = Spec(
+        name="t",
+        key_columns=["repo", "path", "commit"],
+        constraints=[
+            Pattern(id="commit_hex", column="commit", patterns=["[0-9a-f]{40}"]),
+            Length(id="commit_len", column="commit", min=40, max=40),
+        ],
+    )
+    res = ValidationEngine(spark, spec).run(files)
+    vm = verdict_map(res)
+    # 39-char commits fail both the anchored pattern and the exact length
+    assert vm["commit_hex"]["violation_count"] == _expected_count(739)
+    assert vm["commit_len"]["violation_count"] == _expected_count(739)
+
+
+def test_pattern_multi_or(spark, files):
+    # fixture `pattern_multi_or`: .py OR .java paths; everything else violates
+    spec = Spec(
+        name="t",
+        key_columns=["repo", "path", "commit"],
+        constraints=[Pattern(id="p", column="path", patterns=[r".*\.py", r".*\.java"])],
+    )
+    res = ValidationEngine(spark, spec).run(files)
+    expected = files.filter(~(F.col("path").endswith(".py") | F.col("path").endswith(".java"))).count()
+    assert verdict_map(res)["p"]["violation_count"] == expected
+    assert expected > 0
+
+
+def test_range_exclusive_on_expr(spark, files):
+    # analog of positiveInteger (exclusive min 0) on length(content)
+    spec = Spec(
+        name="t",
+        key_columns=["repo", "path", "commit"],
+        constraints=[Range(id="r", column="content", expr="length(content)", min=0, exclusive_min=True)],
+    )
+    res = ValidationEngine(spark, spec).run(files)
+    assert verdict_map(res)["r"]["violation_count"] == 0  # NULLs pass; no empty strings
+
+
+def test_length_oversize(spark, files):
+    spec = Spec(
+        name="t",
+        key_columns=["repo", "path", "commit"],
+        constraints=[Length(id="sz", column="content", min=1, max=65536)],
+    )
+    res = ValidationEngine(spark, spec).run(files)
+    # oversize rows: id % 1499 == 0, but id 0 is NULL (passes), id 4497/8994 also % 997? no:
+    expected = files.filter(F.length("content") > 65536).count()
+    assert verdict_map(res)["sz"]["violation_count"] == expected
+    assert expected > 0
+
+
+def test_constant_fixture(spark):
+    spark_df = repos_dim(spark)
+    spec = Spec(name="t", key_columns=["repo"], constraints=[Constant(id="cb", column="default_branch", value="main")])
+    res = ValidationEngine(spark, spec).run(spark_df)
+    assert verdict_map(res)["cb"]["passed"]
+    res2 = ValidationEngine(spark, spec).run(spark_df.withColumn("default_branch", F.lit("trunk")))
+    assert not verdict_map(res2)["cb"]["passed"]
+
+
+def test_dtype_lexical(spark):
+    df = spark.createDataFrame(
+        [("1",), ("200",), ("-5",), ("abc",), (None,)], schema="x string"
+    )
+    spec = Spec(name="t", key_columns=["x"], constraints=[Dtype(id="d", column="x", type="unsignedByte")])
+    res = ValidationEngine(spark, spec).run(df)
+    v = verdict_map(res)["d"]
+    # 'abc' fails the cast; '-5' fails implied min 0; NULL passes
+    assert v["violation_count"] == 2
+
+
+def test_allof_anyof(spark, files):
+    spec = Spec(
+        name="t",
+        key_columns=["repo", "path", "commit"],
+        constraints=[
+            AllOf(
+                id="all",
+                children=[
+                    Length(id="a1", column="commit", min=40, max=40),
+                    Pattern(id="a2", column="commit", patterns=["[0-9a-f]+"]),
+                ],
+            ),
+            AnyOf(
+                id="any",
+                children=[
+                    Pattern(id="b1", column="path", patterns=[r".*\.py"]),
+                    Pattern(id="b2", column="path", patterns=[r".*\.(java|go|js|scala|sql|cob)"]),
+                ],
+            ),
+        ],
+    )
+    res = ValidationEngine(spark, spec).run(files)
+    vm = verdict_map(res)
+    assert vm["all"]["violation_count"] == _expected_count(739)
+    assert vm["any"]["violation_count"] == 0
+
+
+def test_unique_salted_and_plain_agree(spark, files):
+    spec = Spec(name="t", key_columns=["repo", "path", "commit"], constraints=[Unique(id="uq", columns=["repo", "path", "commit"])])
+    plain = ValidationEngine(spark, spec, config=EngineConfig(salt_partitions=0)).run(files)
+    salted = ValidationEngine(spark, spec, config=EngineConfig(salt_partitions=8)).run(files)
+    n_plain = verdict_map(plain)["uq"]["violation_count"]
+    n_salted = verdict_map(salted)["uq"]["violation_count"]
+    assert n_plain == n_salted
+    # ids 1009, 2018, ... borrow the previous id's key -> one dup group each
+    assert n_plain == _expected_count(1009, skip_zero=True)
+
+
+def test_fk_broadcast_and_smj_agree(spark, files, dims):
+    spec_b = Spec(
+        name="t",
+        key_columns=["repo", "path", "commit"],
+        constraints=[ForeignKey(id="fk", columns=["repo"], ref_table="repos_dim", ref_columns=["repo"], broadcast=True)],
+    )
+    spec_s = Spec(
+        name="t",
+        key_columns=["repo", "path", "commit"],
+        constraints=[ForeignKey(id="fk", columns=["repo"], ref_table="repos_dim", ref_columns=["repo"], broadcast=False)],
+    )
+    rb = ValidationEngine(spark, spec_b, dims=dims).run(files)
+    rs = ValidationEngine(spark, spec_s, dims=dims).run(files)
+    expected = files.filter(F.col("repo").isin(*FK_MISSING_REPOS)).count()
+    assert verdict_map(rb)["fk"]["violation_count"] == expected
+    assert verdict_map(rs)["fk"]["violation_count"] == expected
+    assert expected > 0
+
+
+def test_fk_composite_key(spark, files, dims):
+    spec = Spec(
+        name="t",
+        key_columns=["repo", "path", "commit"],
+        constraints=[ForeignKey(id="fkc", columns=["repo", "commit"], ref_table="commits_dim", ref_columns=["repo", "commit"])],
+    )
+    res = ValidationEngine(spark, spec, dims=dims).run(files)
+    assert verdict_map(res)["fkc"]["violation_count"] > 0
+
+
+def test_cardinality_fixture(spark, files):
+    spec = Spec(
+        name="t",
+        key_columns=["repo", "path", "commit"],
+        constraints=[Cardinality(id="card", group_by=["repo"], min=4, max=5000)],
+    )
+    res = ValidationEngine(spark, spec).run(files)
+    # hot repo_0 holds ~50% of 10k rows -> > 5000 violates max
+    viol = res.violations.filter(F.col("constraint_id") == "card")
+    assert viol.count() >= 1
+    vm = verdict_map(res)
+    assert not vm["card"]["passed"]
+
+
+def test_cardinality_unbounded(spark, files):
+    spec = Spec(name="t", key_columns=["repo"], constraints=[Cardinality(id="c", group_by=["repo"], min=1, max=None)])
+    res = ValidationEngine(spark, spec).run(files)
+    assert verdict_map(res)["c"]["passed"]
+
+
+def test_partitioned_verdicts(spark, files):
+    spec = Spec(
+        name="t",
+        key_columns=["repo", "path", "commit"],
+        partition_by=["lang"],
+        constraints=[NotNull(id="nn", column="content")],
+    )
+    res = ValidationEngine(spark, spec).run(files)
+    rows = res.verdicts.collect()
+    # one verdict row per lang value (6 valid + cobol)
+    assert len(rows) == 7
+    assert sum(r["violation_count"] for r in rows) == _expected_count(997)
+
+
+def test_stats_sketch(spark, files):
+    spec = Spec(name="t", key_columns=["repo"], watched_columns=["content", "lang"], constraints=[])
+    res = ValidationEngine(spark, spec, config=EngineConfig(exact=True)).run(files)
+    stats = {r["column"]: r for r in res.stats.collect()}
+    assert stats["content"]["count"] == N
+    assert stats["content"]["null_count"] == _expected_count(997)
+    assert stats["lang"]["distinct"] == 7
+    assert stats["lang"]["min"] == "cobol"
+
+
+def test_sha256_invariant(spark, files):
+    """Per-row invariant (input_hint): sha2(content,256) is stable across
+    two independent generations of the same seed."""
+    a = files.select("repo", "path", "commit", F.sha2("content", 256).alias("h"))
+    b = files_table(spark, n_rows=N).select("repo", "path", "commit", F.sha2("content", 256).alias("h"))
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_generation_parallelism_invariant(spark):
+    """Same rows regardless of partition count (two-cluster-size rule)."""
+    a = files_table(spark, n_rows=2000, partitions=2)
+    b = files_table(spark, n_rows=2000, partitions=16)
+    assert a.exceptAll(b).count() == 0

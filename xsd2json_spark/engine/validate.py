@@ -1,0 +1,337 @@
+"""ValidationEngine — evaluate a Spec over a DataFrame in as few passes
+as Spark allows.
+
+Plan shape (idiomatic, Catalyst-friendly):
+
+- ROW-LEVEL constraints + the per-column stats sketch run in ONE
+  aggregation pass: ``df.groupBy(partition_by).agg(*counters, *sketch)``.
+  Each constraint contributes one ``sum((NOT pred) :: long)`` counter; the
+  sketch contributes count / null_count / approx_count_distinct (HLL) /
+  min / max / percentile_approx (all built-in partial+final aggregates,
+  map-side combined, WholeStageCodegen'd). This generalizes the
+  reference's accumulate-then-verdict pattern (json/3 merge -> get_json,
+  xsd2json.pl:58-66, 2267-2284) — and like the reference's merges it is
+  associative-commutative, so partial aggregation is safe.
+
+- VIOLATION rows come from one additional scan that evaluates all
+  predicates at once into an array of failed constraint ids, then
+  explodes (rows with no failures are filtered before the explode, so
+  the output is proportional to the number of violations, not rows).
+
+- TABLE-LEVEL constraints each get their natural distributed plan:
+  unique     -> two-stage (salted) count per key, HAVING n > 1
+  foreign_key-> left_anti join (broadcast when dim is small, else
+                sort-merge with AQE skew handling)
+  cardinality-> groupBy(group_key).count() with bound filter
+  drift      -> see engine/drift.py (single-pass grid ECDF / category
+                histogram vs persisted baseline snapshot)
+
+Scale notes: no collect() in any data path (only of per-constraint
+verdict rows, which are O(#constraints x #partitions)); every join side
+that is provably small is broadcast; uniqueness uses spark_partition_id
+as the salt so hot keys partial-aggregate locally before the shuffle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xsd2json_spark.engine.compile import compile_predicate
+from xsd2json_spark.spec.constraints import (
+    Cardinality,
+    Drift,
+    ForeignKey,
+    Spec,
+    Unique,
+)
+
+VERDICT_COLUMNS = ["partition_key", "constraint_id", "violation_count", "evaluated_count", "passed"]
+VIOLATION_EXTRA = ["constraint_id", "detail"]
+
+
+@dataclass
+class EngineConfig:
+    salt_partitions: int = 0  # 0 = rely on map-side combine; >0 = explicit two-stage
+    broadcast_threshold_rows: int = 2_000_000  # dim row count below which FK dims broadcast
+    approx_distinct: bool = True  # HLL vs exact distinct in the sketch
+    quantiles: tuple = (0.25, 0.5, 0.75)
+    quantile_accuracy: int = 10000
+    exact: bool = False  # True = exact distinct (test/oracle parity mode)
+
+
+@dataclass
+class ValidationResult:
+    verdicts: DataFrame  # partition_key, constraint_id, violation_count, evaluated_count, passed
+    violations: DataFrame  # key_columns..., constraint_id, detail
+    stats: DataFrame  # partition_key, column, count, null_count, null_rate, distinct, min, max, quantiles
+
+    def passed(self) -> bool:
+        return self.verdicts.filter(~F.col("passed")).limit(1).count() == 0
+
+
+def _partition_key(spec: Spec):
+    if spec.partition_by:
+        return F.to_json(F.struct(*[F.col(c) for c in spec.partition_by]))
+    return F.lit("ALL")
+
+
+class ValidationEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        spec: Spec,
+        dims: Optional[Dict[str, DataFrame]] = None,
+        baselines: Optional[dict] = None,
+        config: Optional[EngineConfig] = None,
+    ):
+        self.spark = spark
+        self.spec = spec
+        self.dims = dims or {}
+        self.baselines = baselines or {}
+        self.config = config or EngineConfig()
+        self._dim_counts: Dict[str, int] = {}
+
+    # ------------------------------------------------------------------
+    # row-level: ONE aggregation pass for verdict counters + stats sketch
+    # ------------------------------------------------------------------
+
+    def _row_counter_exprs(self):
+        exprs, ids = [], []
+        for i, c in enumerate(self.spec.row_level()):
+            pred = compile_predicate(c)
+            exprs.append(F.sum((~pred).cast("long")).alias(f"__viol_{i}"))
+            ids.append(c.id)
+        return exprs, ids
+
+    def _sketch_exprs(self):
+        cfg = self.config
+        exprs = []
+        for col in self.spec.watched_columns:
+            c = F.col(col)
+            distinct = (
+                F.count_distinct(c) if cfg.exact or not cfg.approx_distinct else F.approx_count_distinct(c)
+            )
+            numeric = c.try_cast("double")
+            exprs += [
+                F.count(F.lit(1)).alias(f"__st_{col}__count"),
+                F.sum(c.isNull().cast("long")).alias(f"__st_{col}__null_count"),
+                distinct.alias(f"__st_{col}__distinct"),
+                # cast + truncate: at repo scale min/max of a content-like
+                # column would otherwise ship megabyte strings to the driver
+                F.substring(F.min(c).cast("string"), 1, 256).alias(f"__st_{col}__min"),
+                F.substring(F.max(c).cast("string"), 1, 256).alias(f"__st_{col}__max"),
+                F.percentile_approx(numeric, list(cfg.quantiles), cfg.quantile_accuracy).alias(
+                    f"__st_{col}__quantiles"
+                ),
+            ]
+        return exprs
+
+    def _agg_pass(self, df: DataFrame) -> DataFrame:
+        """The single wide aggregation. Returns one row per partition_key
+        with all constraint counters and sketch fields. A global run
+        (no partition_by) uses a grand aggregate so even an EMPTY input
+        yields one verdict row per constraint (vacuous pass)."""
+        counter_exprs, _ = self._row_counter_exprs()
+        exprs = counter_exprs + self._sketch_exprs() + [F.count(F.lit(1)).alias("__total")]
+        if self.spec.partition_by:
+            return df.groupBy(_partition_key(self.spec).alias("partition_key")).agg(*exprs)
+        return df.groupBy().agg(*exprs).select(F.lit("ALL").alias("partition_key"), "*")
+
+    def row_verdicts_and_stats(self, df: DataFrame) -> "tuple[DataFrame, DataFrame]":
+        agg = self._agg_pass(df)
+        agg = agg.cache()  # tiny: one row per partition_key
+        _, ids = self._row_counter_exprs()
+
+        if ids:
+            stack_args = []
+            for i, cid in enumerate(ids):
+                stack_args.append(f"'{cid}'")
+                stack_args.append(f"__viol_{i}")
+            stacked = agg.selectExpr(
+                "partition_key",
+                "__total as evaluated_count",
+                f"stack({len(ids)}, {', '.join(stack_args)}) as (constraint_id, violation_count)",
+            )
+            verdicts = stacked.select(
+                "partition_key",
+                "constraint_id",
+                F.coalesce("violation_count", F.lit(0)).alias("violation_count"),
+                "evaluated_count",
+                (F.coalesce("violation_count", F.lit(0)) == 0).alias("passed"),
+            )
+        else:
+            verdicts = self.spark.createDataFrame([], schema="partition_key string, constraint_id string, violation_count long, evaluated_count long, passed boolean")
+
+        stats_rows = []
+        for col in self.spec.watched_columns:
+            stats_rows.append(
+                agg.select(
+                    "partition_key",
+                    F.lit(col).alias("column"),
+                    F.col(f"__st_{col}__count").alias("count"),
+                    F.col(f"__st_{col}__null_count").alias("null_count"),
+                    (F.col(f"__st_{col}__null_count") / F.col(f"__st_{col}__count")).alias("null_rate"),
+                    F.col(f"__st_{col}__distinct").cast("long").alias("distinct"),
+                    F.col(f"__st_{col}__min").alias("min"),
+                    F.col(f"__st_{col}__max").alias("max"),
+                    F.col(f"__st_{col}__quantiles").alias("quantiles"),
+                )
+            )
+        if stats_rows:
+            stats = stats_rows[0]
+            for s in stats_rows[1:]:
+                stats = stats.unionByName(s)
+        else:
+            stats = self.spark.createDataFrame(
+                [],
+                schema="partition_key string, column string, count long, null_count long, "
+                "null_rate double, distinct long, min string, max string, quantiles array<double>",
+            )
+        return verdicts, stats
+
+    # ------------------------------------------------------------------
+    # violation rows: one scan, all row-level predicates at once
+    # ------------------------------------------------------------------
+
+    def row_violations(self, df: DataFrame) -> DataFrame:
+        keys = list(self.spec.key_columns) or df.columns[:1]
+        row_cs = self.spec.row_level()
+        if not row_cs:
+            return self._empty_violations(keys)
+        failed = F.array_compact(
+            F.array(*[F.when(~compile_predicate(c), F.lit(c.id)) for c in row_cs])
+        )
+        key_cols = [F.col(k).cast("string").alias(k) for k in keys]
+        return (
+            df.select(*key_cols, failed.alias("__failed"))
+            .filter(F.size("__failed") > 0)
+            .select(*keys, F.explode("__failed").alias("constraint_id"))
+            .withColumn("detail", F.lit(None).cast("string"))
+        )
+
+    def _empty_violations(self, keys) -> DataFrame:
+        fields = ", ".join([f"`{k}` string" for k in keys] + ["constraint_id string", "detail string"])
+        return self.spark.createDataFrame([], schema=fields)
+
+    # ------------------------------------------------------------------
+    # table-level constraints
+    # ------------------------------------------------------------------
+
+    def unique_violations(self, df: DataFrame, c: Unique) -> DataFrame:
+        """Duplicate keys. Two-stage salted aggregation: stage 1 counts
+        per (key, spark_partition_id-salt) — a pure map-side combine that
+        defuses hot keys before the shuffle — stage 2 sums per key.
+        With salt_partitions=0 we still get Spark's builtin partial
+        aggregation; the explicit form is for huge key cardinality where
+        the hash-agg table would spill."""
+        cols = list(c.columns)
+        keyed = df.select(*cols).na.drop(subset=cols)
+        if self.config.salt_partitions > 0:
+            stage1 = keyed.groupBy(
+                *cols, F.pmod(F.spark_partition_id(), F.lit(self.config.salt_partitions)).alias("__salt")
+            ).agg(F.count(F.lit(1)).alias("__c"))
+            counts = stage1.groupBy(*cols).agg(F.sum("__c").alias("n"))
+        else:
+            counts = keyed.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
+        return counts.filter(F.col("n") > 1).select(
+            *cols,
+            F.lit(c.id).alias("constraint_id"),
+            F.concat(F.lit("duplicates="), F.col("n").cast("string")).alias("detail"),
+        )
+
+    def fk_violations(self, df: DataFrame, c: ForeignKey) -> DataFrame:
+        dim = self.dims.get(c.ref_table)
+        if dim is None:
+            raise KeyError(f"foreign_key {c.id}: dimension table {c.ref_table!r} not provided")
+        ref = dim.select(*[F.col(rc).alias(f"__ref_{i}") for i, rc in enumerate(c.ref_columns)]).dropDuplicates()
+        do_broadcast = c.broadcast
+        if do_broadcast is None:
+            if c.ref_table not in self._dim_counts:
+                self._dim_counts[c.ref_table] = dim.count()
+            do_broadcast = self._dim_counts[c.ref_table] <= self.config.broadcast_threshold_rows
+        if do_broadcast:
+            ref = F.broadcast(ref)
+        cond = None
+        for i, fc in enumerate(c.columns):
+            clause = F.col(fc) == F.col(f"__ref_{i}")
+            cond = clause if cond is None else (cond & clause)
+        # NULL FK values pass (dangling-$ref-only semantics, xsd2json.pl:983-986)
+        fact = df
+        for fc in c.columns:
+            fact = fact.filter(F.col(fc).isNotNull())
+        viol = fact.join(ref, on=cond, how="left_anti")
+        keys = list(self.spec.key_columns) or list(c.columns)
+        keys = [k for k in keys if k in viol.columns] or list(c.columns)
+        return viol.select(
+            *keys,
+            F.lit(c.id).alias("constraint_id"),
+            F.to_json(F.struct(*[F.col(fc) for fc in c.columns])).alias("detail"),
+        )
+
+    def cardinality_violations(self, df: DataFrame, c: Cardinality) -> DataFrame:
+        counts = df.groupBy(*c.group_by).agg(F.count(F.lit(1)).alias("n"))
+        cond = F.lit(False)
+        if c.min is not None:
+            cond = cond | (F.col("n") < c.min)
+        if c.max is not None:
+            cond = cond | (F.col("n") > c.max)
+        return counts.filter(cond).select(
+            *c.group_by,
+            F.lit(c.id).alias("constraint_id"),
+            F.concat(F.lit("count="), F.col("n").cast("string")).alias("detail"),
+        )
+
+    # ------------------------------------------------------------------
+    # full run
+    # ------------------------------------------------------------------
+
+    def run(self, df: DataFrame) -> ValidationResult:
+        verdicts, stats = self.row_verdicts_and_stats(df)
+
+        keys = list(self.spec.key_columns) or df.columns[:1]
+        all_viol = [self.row_violations(df)]
+        table_verdict_rows = []
+
+        for c in self.spec.table_level():
+            if isinstance(c, Unique):
+                v = self.unique_violations(df, c)
+            elif isinstance(c, ForeignKey):
+                v = self.fk_violations(df, c)
+            elif isinstance(c, Cardinality):
+                v = self.cardinality_violations(df, c)
+            elif isinstance(c, Drift):
+                from xsd2json_spark.engine.drift import drift_verdict
+
+                dv = drift_verdict(self.spark, df, c, self.baselines)
+                table_verdict_rows.append(dv)
+                continue
+            else:  # pragma: no cover
+                continue
+            n = v.count()
+            table_verdict_rows.append(("ALL", c.id, n, None, n == 0))
+            all_viol.append(self._conform_violations(v, keys))
+
+        violations = all_viol[0]
+        for v in all_viol[1:]:
+            violations = violations.unionByName(v)
+
+        if table_verdict_rows:
+            tv = self.spark.createDataFrame(
+                table_verdict_rows,
+                schema="partition_key string, constraint_id string, violation_count long, "
+                "evaluated_count long, passed boolean",
+            )
+            verdicts = verdicts.unionByName(tv)
+
+        return ValidationResult(verdicts=verdicts, violations=violations, stats=stats)
+
+    def _conform_violations(self, v: DataFrame, keys) -> DataFrame:
+        cols = []
+        for k in keys:
+            cols.append(F.col(k).cast("string").alias(k) if k in v.columns else F.lit(None).cast("string").alias(k))
+        cols += [F.col("constraint_id"), F.col("detail")]
+        return v.select(*cols)
