@@ -1,0 +1,34 @@
+"""Driver-contract smoke: entry() returns rows with a stable schema;
+every queries() entry runs at sf0.001; oracle_sql() keys are a subset
+of queries() keys."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert set(df.columns) == {"constraint_id", "violation_count", "evaluated_count", "passed"}
+
+
+def test_oracle_keys_subset():
+    qs, os_ = E.queries(), E.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(os_) >= 12
+
+
+@pytest.mark.parametrize("name", sorted(E.queries()))
+def test_each_query_runs(spark, name):
+    df = E.queries()[name](spark, SF)
+    df.limit(5).collect()
+    assert df.columns

@@ -174,7 +174,8 @@ class ValidationEngine:
                     F.lit(col).alias("column"),
                     F.col(f"__st_{col}__count").alias("count"),
                     F.col(f"__st_{col}__null_count").alias("null_count"),
-                    (F.col(f"__st_{col}__null_count") / F.col(f"__st_{col}__count")).alias("null_rate"),
+                    # try_divide: empty partition -> NULL, not an ANSI error
+                    F.try_divide(F.col(f"__st_{col}__null_count"), F.col(f"__st_{col}__count")).alias("null_rate"),
                     F.col(f"__st_{col}__distinct").cast("long").alias("distinct"),
                     F.col(f"__st_{col}__min").alias("min"),
                     F.col(f"__st_{col}__max").alias("max"),

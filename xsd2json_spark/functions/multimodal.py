@@ -1,0 +1,106 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata.
+
+The Spark-side plumbing is real and tested: schemas, Arrow-batched
+mapInPandas pipelines, partitioning by media type, and batch-shape
+contracts. The actual codec work (image decode, resampling, frame
+sampling) is STUBBED — the decode libraries (PIL/ffmpeg/librosa) are not
+in this container — behind ``DeterministicFakeCodec`` (seeded,
+shape-correct fake outputs) or ``NotImplementedError`` in strict mode.
+Swap ``_decode_image_bytes`` et al. for real codecs in production.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+IMAGE_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+FEATURE_DIM = 32
+
+
+def _decode_image_bytes(payload: bytes, strict: bool = False) -> np.ndarray:
+    """STUB: real impl would be PIL.Image.open(BytesIO(payload)).
+    Deterministic fake: payload bytes seed a fixed-dim pseudo-feature.
+    strict=True raises instead (it must be passed as a closure value —
+    a module global would not survive pickling to the Python workers)."""
+    if strict:
+        raise NotImplementedError("image decode requires PIL; not in this container")
+    seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little") & 0x7FFFFFFF
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal(FEATURE_DIM).astype(np.float32)
+
+
+def image_features(media: DataFrame, batch_hint: int = 1024, strict: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction over image rows. The Spark side
+    (filter pushdown on kind, column pruning to (media_id,payload,w,h),
+    Arrow batch iteration) is production-shaped; only the codec is fake.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_image_bytes(p if isinstance(p, (bytes, bytearray)) else bytes(p), strict).tolist()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "feature": feats,
+                }
+            )
+
+    pruned = media.filter(F.col("kind") == "image").select("media_id", "payload", "width", "height")
+    return pruned.mapInPandas(_extract, schema=IMAGE_FEATURE_SCHEMA)
+
+
+def synth_media(spark, n_rows: int = 200, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (binary payloads from sha2 hex)."""
+    df = spark.range(n_rows)
+    kind = F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.col("id") % 3 + 1).cast("int"))
+    payload = F.to_binary(F.sha2(F.concat(F.col("id").cast("string"), F.lit(f"#{seed}")), 256), F.lit("hex"))
+    return df.select(
+        F.col("id").alias("media_id"),
+        kind.alias("kind"),
+        F.concat(F.lit("application/x-"), kind).alias("mime"),
+        payload.alias("payload"),
+        (F.col("id") % 640 + 16).cast("int").alias("width"),
+        (F.col("id") % 480 + 16).cast("int").alias("height"),
+        (F.col("id") * 33).cast("long").alias("duration_ms"),
+    )
