@@ -1,0 +1,117 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries": {name:
+sec}, "sf", plus informative extras (validated files/sec on the
+synthetic north-star table)}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from xsd2json_spark import spec_from_dict  # noqa: E402
+from xsd2json_spark.engine import ValidationEngine  # noqa: E402
+from xsd2json_spark.session import get_spark  # noqa: E402
+from xsd2json_spark.sources.synth import files_table, repos_dim  # noqa: E402
+
+BENCH_QUERIES = [
+    "cv_verdicts",
+    "cv_violations",
+    "cv_stats_sketch",
+    "cv_unique_violations",
+    "cv_fk_violations",
+    "cv_cardinality_violations",
+    "cv_dtype_lexical",
+    "lineitem_pricing_summary",
+    "top_revenue_orders",
+    "events_user_activity",
+    "doc_token_stats",
+    "doc_fingerprint",
+    "doc_minhash_dups",
+    "emb_knn_brute",
+    "emb_knn_lsh",
+]
+
+FILES_SPEC = {
+    "name": "files_v1",
+    "key_columns": ["repo", "path", "commit"],
+    "watched_columns": ["content", "lang", "length(content)"],
+    "constraints": [
+        {"kind": "not_null", "id": "content_nn", "column": "content"},
+        {"kind": "enum", "id": "lang_enum", "column": "lang",
+         "values": ["python", "java", "scala", "go", "js", "sql"]},
+        {"kind": "pattern", "id": "commit_hex", "column": "commit", "pattern": "[0-9a-f]{40}"},
+        {"kind": "length", "id": "commit_len", "column": "commit", "min": 40, "max": 40},
+        {"kind": "length", "id": "content_len", "column": "content", "min": 1, "max": 131072},
+        {"kind": "range", "id": "content_pos", "column": "content", "expr": "length(content)",
+         "min": 0, "exclusive_min": True},
+        {"kind": "unique", "id": "pk", "columns": ["repo", "path", "commit"]},
+        {"kind": "foreign_key", "id": "repo_fk", "columns": ["repo"], "ref_table": "repos_dim"},
+        {"kind": "cardinality", "id": "repo_card", "group_by": ["repo"], "min": 1},
+    ],
+}
+
+
+def bench_validation_throughput(spark, n_rows: int) -> dict:
+    """The north-star job: full constraint suite, single pass, over the
+    synthetic (repo,path,commit,lang,content) table. Reports validated
+    files/sec. Input is materialized (parquet) first so generation cost
+    is excluded from the measured run."""
+    path = f"/tmp/bench_files_{n_rows}.parquet"
+    if not os.path.exists(path):
+        files_table(spark, n_rows=n_rows).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+
+    def one_run():
+        eng = ValidationEngine(spark, spec_from_dict(FILES_SPEC), dims={"repos_dim": repos_dim(spark)})
+        t0 = time.perf_counter()
+        res = eng.run(df)
+        res.verdicts.collect()
+        n_viol = res.violations.count()
+        res.unpersist()
+        return time.perf_counter() - t0, n_viol
+
+    one_run()  # warm-up: JIT/codegen compilation of the regex/sha kernels
+    runs = [one_run() for _ in range(2)]
+    dt = min(r[0] for r in runs)
+    n_viol = runs[0][1]
+    return {"rows": n_rows, "sec": round(dt, 3), "files_per_sec": round(n_rows / dt), "violations": n_viol}
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="bench")
+    # warm the JVM/parquet footer caches off the clock
+    entrymod.q_cv_verdicts(spark, sf_dir).collect()
+
+    qs = entrymod.queries()
+    timings = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    vt = bench_validation_throughput(spark, n_rows=int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "2000000")))
+
+    out = {
+        "metric": "headline query wall-clock (sum) + validated files/sec on 2M-row synthetic",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "validation_throughput": vt,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

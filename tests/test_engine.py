@@ -172,11 +172,14 @@ def test_allof_anyof(spark, files):
 
 def test_unique_salted_and_plain_agree(spark, files):
     spec = Spec(name="t", key_columns=["repo", "path", "commit"], constraints=[Unique(id="uq", columns=["repo", "path", "commit"])])
-    plain = ValidationEngine(spark, spec, config=EngineConfig(salt_partitions=0)).run(files)
-    salted = ValidationEngine(spark, spec, config=EngineConfig(salt_partitions=8)).run(files)
+    # all three physical strategies must agree:
+    hashed = ValidationEngine(spark, spec, config=EngineConfig(unique_via_hash=True)).run(files)
+    plain = ValidationEngine(spark, spec, config=EngineConfig(unique_via_hash=False, salt_partitions=0)).run(files)
+    salted = ValidationEngine(spark, spec, config=EngineConfig(unique_via_hash=False, salt_partitions=8)).run(files)
+    n_hash = verdict_map(hashed)["uq"]["violation_count"]
     n_plain = verdict_map(plain)["uq"]["violation_count"]
     n_salted = verdict_map(salted)["uq"]["violation_count"]
-    assert n_plain == n_salted
+    assert n_hash == n_plain == n_salted
     # ids 1009, 2018, ... borrow the previous id's key -> one dup group each
     assert n_plain == _expected_count(1009, skip_zero=True)
 

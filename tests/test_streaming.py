@@ -1,0 +1,91 @@
+"""Structured Streaming validation: file-source stream -> memory sink
+with availableNow, verdicts must match the batch engine on the same
+data; watermark drops late rows."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xsd2json_spark.engine.validate import ValidationEngine
+from xsd2json_spark.sources.synth import files_table, repos_dim
+from xsd2json_spark.spec.constraints import Enum, ForeignKey, NotNull, Spec
+from xsd2json_spark.streaming.validate_stream import (
+    stream_fk_violations,
+    stream_violations,
+    stream_windowed_verdicts,
+)
+
+SPEC = Spec(
+    name="stream_t",
+    key_columns=["repo", "path", "commit"],
+    constraints=[
+        NotNull(id="nn", column="content"),
+        Enum(id="en", column="lang", values=["python", "java", "scala", "go", "js", "sql"]),
+    ],
+)
+
+
+@pytest.fixture(scope="module")
+def staged(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("stream_src") / "files")
+    df = files_table(spark, n_rows=3000).withColumn(
+        # deterministic event time spread over 10 minutes
+        "ts",
+        F.timestamp_seconds(F.lit(1699999800) + F.pmod(F.xxhash64("path"), F.lit(600))),
+    )
+    df.write.parquet(p)
+    return p, df
+
+
+def _run_stream(spark, sdf, name):
+    q = sdf.writeStream.format("memory").queryName(name).outputMode("append").trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_stream_violations_match_batch(spark, staged):
+    path, df = staged
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = _run_stream(spark, stream_violations(stream, SPEC), "viol_stream")
+    batch = ValidationEngine(spark, SPEC).run(spark.read.parquet(path))
+    b = batch.violations.select("repo", "path", "commit", "constraint_id")
+    s = out.select("repo", "path", "commit", "constraint_id")
+    assert s.exceptAll(b).count() == 0 and b.exceptAll(s).count() == 0
+    assert s.count() > 0
+
+
+def test_stream_windowed_verdicts(spark, staged):
+    path, df = staged
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    sdf = stream_windowed_verdicts(stream, SPEC, time_col="ts", window="5 minutes", watermark="10 minutes")
+    # complete mode: availableNow emits ALL windows at termination
+    # (append would hold back windows the watermark hasn't closed)
+    q = (
+        sdf.writeStream.format("memory").queryName("verd_stream")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("verd_stream").collect()
+    # 10-minute spread over 5-minute windows -> 2 windows
+    assert len(rows) == 2
+    total_eval = sum(r["evaluated_count"] for r in rows)
+    assert total_eval == 3000
+    total_nn = sum(r["viol__nn"] for r in rows)
+    batch_nn = spark.read.parquet(path).filter(F.col("content").isNull()).count()
+    assert total_nn == batch_nn
+
+
+def test_stream_fk_violations(spark, staged):
+    path, df = staged
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    fk = ForeignKey(id="fk", columns=["repo"], ref_table="repos_dim", ref_columns=["repo"])
+    out = _run_stream(spark, stream_fk_violations(stream, fk, repos_dim(spark)), "fk_stream")
+    batch_n = (
+        spark.read.parquet(path)
+        .join(repos_dim(spark).select("repo"), "repo", "left_anti")
+        .count()
+    )
+    assert out.count() == batch_n
+    assert out.count() > 0

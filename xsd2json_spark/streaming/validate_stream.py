@@ -1,0 +1,74 @@
+"""Structured Streaming validation: the same compiled constraint
+predicates applied to an unbounded stream.
+
+The reference is batch-only (one-shot compiler), so this is the
+north-star extension for continuously-arriving repo files:
+
+- ``stream_violations``: stateless — rows failing any row-level
+  constraint, with the failed ids exploded; safe at any volume (output
+  is proportional to violations).
+- ``stream_windowed_verdicts``: watermarked event-time windows with the
+  same AC counter aggregates as the batch engine (sum of (NOT pred);
+  late rows beyond the watermark are dropped, counted per window).
+
+Table-level constraints (unique/FK) in streaming require state or
+stream-static joins:
+- ``stream_fk_violations`` joins the stream against a STATIC dimension
+  (stream-static left_anti is supported natively and stays broadcast).
+- uniqueness-within-window comes free as a windowed groupBy count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xsd2json_spark.engine.compile import compile_predicate
+from xsd2json_spark.spec.constraints import ForeignKey, Spec
+
+
+def stream_violations(stream_df: DataFrame, spec: Spec) -> DataFrame:
+    """Stateless violation stream (append-mode friendly)."""
+    keys = list(spec.key_columns) or stream_df.columns[:1]
+    row_cs = spec.row_level()
+    failed = F.array_compact(F.array(*[F.when(~compile_predicate(c), F.lit(c.id)) for c in row_cs]))
+    key_cols = [F.col(k).cast("string").alias(k) for k in keys]
+    return (
+        stream_df.select(*key_cols, failed.alias("__failed"))
+        .filter(F.size("__failed") > 0)
+        .select(*keys, F.explode("__failed").alias("constraint_id"))
+    )
+
+
+def stream_windowed_verdicts(
+    stream_df: DataFrame,
+    spec: Spec,
+    time_col: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked per-window constraint counters (update/append mode).
+    Same counter semantics as the batch engine's single agg pass."""
+    exprs = [F.count(F.lit(1)).alias("evaluated_count")]
+    for c in spec.row_level():
+        exprs.append(F.sum((~compile_predicate(c)).cast("long")).alias(f"viol__{c.id}"))
+    return (
+        stream_df.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window).alias("window"))
+        .agg(*exprs)
+    )
+
+
+def stream_fk_violations(stream_df: DataFrame, c: ForeignKey, dim_df: DataFrame) -> DataFrame:
+    """Stream-static anti-join: dangling references in flight."""
+    ref = dim_df.select(*[F.col(rc).alias(f"__ref_{i}") for i, rc in enumerate(c.ref_columns)]).dropDuplicates()
+    cond = None
+    for i, fc in enumerate(c.columns):
+        clause = F.col(fc) == F.col(f"__ref_{i}")
+        cond = clause if cond is None else (cond & clause)
+    fact = stream_df
+    for fc in c.columns:
+        fact = fact.filter(F.col(fc).isNotNull())
+    return fact.join(F.broadcast(ref), on=cond, how="left_anti").withColumn(
+        "constraint_id", F.lit(c.id)
+    )
