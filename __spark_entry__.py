@@ -261,6 +261,102 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal ratios (POSIX punct class matches Java \\p{Punct})."""
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    n = F.length(c)
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(c, r"[^\p{Punct}]", ""))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(F.when(n > 0, alpha / n).otherwise(F.lit(0.0)), 4).alias("alpha_ratio"),
+        F.round(F.when(n > 0, punct / n).otherwise(F.lit(0.0)), 4).alias("punct_ratio"),
+    )
+
+
+def q_doc_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(T.stopword_ratio(F.col("text"), "en"), 4).alias("stopword_ratio"),
+    )
+
+
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram Jaccard pairs (inverted index) on the first 150 docs
+    — the oracle replays the identical CTE in DuckDB."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2, max_shingle_freq=10**9
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via window lag —
+    the classic event-pipeline operator."""
+    from pyspark.sql.window import Window
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = events.withColumn("new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    return (
+        marked.groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + agg: revenue by part brand."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select("p_brand", "revenue", F.col("n_lines").cast("long").alias("n_lines"))
+    )
+
+
+def q_cv_composite_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """all_of / any_of composites (resolve_facets allOf + multi-root
+    oneOf analogs) evaluated in the engine's violation path."""
+    docs = _t(spark, sf_dir, "documents")
+    spec = spec_from_dict(
+        {
+            "name": "composite",
+            "key_columns": ["doc_id"],
+            "constraints": [
+                {"kind": "all_of", "id": "all_len_and_src", "children": [
+                    {"kind": "length", "id": "a1", "column": "text", "min": 150, "max": 100000},
+                    {"kind": "pattern", "id": "a2", "column": "source", "patterns": ["src[0-9]+"]},
+                ]},
+                {"kind": "any_of", "id": "any_lang", "children": [
+                    {"kind": "enum", "id": "b1", "column": "lang", "values": ["en"]},
+                    {"kind": "enum", "id": "b2", "column": "lang", "values": ["fr", "de", "es"]},
+                ]},
+            ],
+        }
+    )
+    eng = ValidationEngine(spark, spec, config=EngineConfig(exact=True))
+    return eng.row_violations(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "constraint_id"
+    )
+
+
 def q_emb_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
@@ -305,6 +401,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_exact_dups": q_doc_exact_dups,
         "doc_langid": q_doc_langid,
+        "doc_quality": q_doc_quality,
+        "doc_stopword_ratio": q_doc_stopword_ratio,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "events_sessionization": q_events_sessionization,
+        "brand_revenue": q_brand_revenue,
+        "cv_composite_violations": q_cv_composite_violations,
         "doc_minhash_dups": q_doc_minhash_dups,
         "doc_simhash": q_doc_simhash,
         "emb_knn_brute": q_emb_knn_brute,
@@ -422,6 +524,86 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM documents
             GROUP BY 1 HAVING count(*) > 1
+        """,
+        "doc_quality": r"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   round(CASE WHEN length(text) > 0
+                         THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
+                         ELSE 0 END, 4) AS alpha_ratio,
+                   round(CASE WHEN length(text) > 0
+                         THEN length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / length(text)
+                         ELSE 0 END, 4) AS punct_ratio
+            FROM documents
+        """,
+        "doc_stopword_ratio": r"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   round(CASE WHEN len(toks) > 0
+                         THEN len(list_filter(toks, x -> list_contains(
+                              ['the','a','of','and','to','in','is','it','that','for'], x))) * 1.0 / len(toks)
+                         ELSE 0 END, 4) AS stopword_ratio
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN []
+                            ELSE regexp_split_to_array(lower(regexp_replace(regexp_replace(text, '^\s+', ''), '\s+$', '')), '\s+')
+                       END AS toks
+                FROM documents
+            )
+        """,
+        "doc_ngram_jaccard": r"""
+            WITH docs AS (
+                SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+                FROM documents WHERE doc_id < 150
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, substr(t, i, 3) AS s
+                FROM docs, LATERAL (SELECT unnest(range(1, length(t) - 1)) AS i)
+            ),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            common AS (
+                SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT CAST(ia AS BIGINT) AS id_a, CAST(ib AS BIGINT) AS id_b,
+                   round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+            FROM common
+            JOIN sz sa ON sa.doc_id = ia
+            JOIN sz sb ON sb.doc_id = ib
+            WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 6) >= 0.2
+        """,
+        "events_sessionization": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(sum(new_session) AS BIGINT) AS n_sessions,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            GROUP BY user_id
+        """,
+        "brand_revenue": """
+            SELECT p_brand,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "cv_composite_violations": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, c.constraint_id
+            FROM documents, LATERAL (
+                SELECT unnest(list_filter([
+                    CASE WHEN NOT ((text IS NULL OR length(text) BETWEEN 150 AND 100000)
+                               AND (source IS NULL OR regexp_full_match(source, '(?:src[0-9]+)')))
+                         THEN 'all_len_and_src' END,
+                    CASE WHEN NOT ((lang IS NULL OR lang IN ('en'))
+                                OR (lang IS NULL OR lang IN ('fr','de','es')))
+                         THEN 'any_lang' END
+                ], x -> x IS NOT NULL)) AS constraint_id
+            ) c
         """,
         "emb_knn_brute": """
             SELECT CAST(e.vec_id AS BIGINT) AS vec_id,

@@ -36,6 +36,10 @@ BENCH_QUERIES = [
     "doc_token_stats",
     "doc_fingerprint",
     "doc_minhash_dups",
+    "doc_quality",
+    "doc_ngram_jaccard",
+    "events_sessionization",
+    "brand_revenue",
     "emb_knn_brute",
     "emb_knn_lsh",
 ]
