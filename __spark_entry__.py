@@ -374,6 +374,65 @@ def q_emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cv_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift operator demo (no oracle — p-values need the incomplete
+    gamma function): chi-square of the lang mix against a baseline
+    snapshot built from the same table (self-drift => passes) AND
+    against a deliberately shifted mix (=> fails)."""
+    from xsd2json_spark.engine.drift import chi2_drift, make_categorical_baseline
+    from xsd2json_spark.spec.constraints import Drift
+
+    docs = _t(spark, sf_dir, "documents")
+    base = make_categorical_baseline(docs, "lang")
+    c = Drift(id="lang_drift", column="lang", test="chi2", baseline="b", alpha=0.01)
+    stat_same, p_same = chi2_drift(docs, c, base)
+    shifted = docs.withColumn("lang", F.when(F.col("lang") == "en", F.lit("zh")).otherwise(F.col("lang")))
+    stat_shift, p_shift = chi2_drift(shifted, c, base)
+    return spark.createDataFrame(
+        [("self", float(stat_same), float(p_same), bool(p_same >= 0.01)),
+         ("shifted", float(stat_shift), float(p_shift), bool(p_shift >= 0.01))],
+        schema="scenario string, statistic double, p_value double, passed boolean",
+    )
+
+
+def q_cv_resume_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-resume demo (no oracle): validate documents in 4
+    lineage buckets through the audit store, return re-merged global
+    verdicts — equal to a single-shot run."""
+    import tempfile
+
+    from xsd2json_spark.plans.audit import ResumableRunner
+
+    docs = _t(spark, sf_dir, "documents")
+    eng = ValidationEngine(spark, spec_from_dict(DOC_SPEC), config=EngineConfig(exact=True))
+    with tempfile.TemporaryDirectory(prefix="audit_") as td:
+        runner = ResumableRunner(eng, td, run_id="entry", n_buckets=4, bucket_column="doc_id")
+        runner.run(docs)
+        out = runner.global_verdicts().select(
+            "constraint_id",
+            F.col("violation_count").cast("long").alias("violation_count"),
+            "passed",
+        )
+        out = spark.createDataFrame(out.collect(), schema=out.schema)  # materialize before tmpdir vanishes
+    return out
+
+
+def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing demo (no oracle): binary media table ->
+    Arrow mapInPandas feature extraction (codec stubbed; deterministic)."""
+    from xsd2json_spark.functions import multimodal as M
+
+    media = M.synth_media(spark, n_rows=300)
+    feats = M.image_features(media)
+    return feats.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        "width",
+        "height",
+        F.size("feature").alias("feature_dim"),
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x.cast("double")), 4).alias("feature_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver entry points
 # ---------------------------------------------------------------------------
@@ -411,6 +470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": q_doc_simhash,
         "emb_knn_brute": q_emb_knn_brute,
         "emb_knn_lsh": q_emb_knn_lsh,
+        "cv_drift_chi2": q_cv_drift_chi2,
+        "cv_resume_lineage": q_cv_resume_lineage,
+        "media_image_features": q_media_image_features,
     }
 
 
