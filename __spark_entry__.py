@@ -285,7 +285,10 @@ def q_doc_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT 3-gram Jaccard pairs (inverted index) on the first 150 docs
-    — the oracle replays the identical CTE in DuckDB."""
+    — the oracle replays the identical CTE in DuckDB. (On this
+    synthetic word-salad corpus every doc shares most shingles, so the
+    frequency cap that guards real corpora would empty the result; it
+    stays uncapped here and the doc_id<150 bound caps the quadratics.)"""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     return D.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.2, max_shingle_freq=10**9

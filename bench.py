@@ -37,7 +37,6 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "doc_minhash_dups",
     "doc_quality",
-    "doc_ngram_jaccard",
     "events_sessionization",
     "brand_revenue",
     "emb_knn_brute",
