@@ -57,7 +57,7 @@ FILES_SPEC = {
         {"kind": "range", "id": "content_pos", "column": "content", "expr": "length(content)",
          "min": 0, "exclusive_min": True},
         {"kind": "unique", "id": "pk", "columns": ["repo", "path", "commit"]},
-        {"kind": "foreign_key", "id": "repo_fk", "columns": ["repo"], "ref_table": "repos_dim"},
+        {"kind": "foreign_key", "id": "repo_fk", "columns": ["repo"], "ref_table": "repos_dim", "broadcast": True},
         {"kind": "cardinality", "id": "repo_card", "group_by": ["repo"], "min": 1},
     ],
 }

@@ -31,10 +31,10 @@ import os
 from dataclasses import dataclass
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from xsd2json_spark.engine.validate import ValidationEngine, ValidationResult
+from xsd2json_spark.engine.validate import ValidationEngine
 
 MANIFEST_SCHEMA = (
     "run_id string, bucket int, status string, n_violations long, n_rows long"

@@ -21,7 +21,7 @@ Occurrence arithmetic: sum_occurs/3 (xsd2json.pl:986-1006) — ``unbounded``
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 from xsd2json_spark.spec.constraints import (
     Cardinality,
