@@ -56,3 +56,86 @@ def test_crash_and_resume(spark, tmp_path):
     b = resumed.global_violations()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     files.unpersist()
+
+
+def test_crash_before_manifest_is_idempotent(spark, tmp_path):
+    """The nastier crash window: bucket data committed but manifest row
+    missing. The resumed run must OVERWRITE the bucket partition (dynamic
+    partition overwrite), not append a second copy."""
+    files = files_table(spark, n_rows=3000).cache()
+    files.count()
+
+    clean = ResumableRunner(ValidationEngine(spark, SPEC), str(tmp_path / "clean"), run_id="r1", n_buckets=4)
+    clean.run(files)
+    truth = _verdict_map(clean.global_verdicts())
+    truth_viol = clean.global_violations().count()
+
+    crash_dir = str(tmp_path / "crash")
+    runner = ResumableRunner(ValidationEngine(spark, SPEC), crash_dir, run_id="r1", n_buckets=4)
+    with pytest.raises(RuntimeError, match="before manifest"):
+        runner.run(files, fail_before_manifest=1)
+    # bucket 1's data was written but NOT marked complete
+    assert 1 not in runner.completed_buckets()
+
+    resumed = ResumableRunner(ValidationEngine(spark, SPEC), crash_dir, run_id="r1", n_buckets=4)
+    processed = resumed.run(files)
+    assert 1 in processed  # re-processed, not skipped
+    assert _verdict_map(resumed.global_verdicts()) == truth  # no double-count
+    assert resumed.global_violations().count() == truth_viol  # no duplicate rows
+    files.unpersist()
+
+
+def test_resume_drift_runs_once_globally(spark, tmp_path):
+    """Drift is excluded from the per-bucket loop and evaluated once over
+    the full input — identical to a single-shot engine run."""
+    from xsd2json_spark.engine.drift import make_categorical_baseline
+    from xsd2json_spark.spec.constraints import Drift
+
+    files = files_table(spark, n_rows=2000).cache()
+    files.count()
+    base = make_categorical_baseline(files, "lang")
+    spec = Spec(
+        name="resume_drift",
+        key_columns=["repo", "path", "commit"],
+        constraints=[
+            NotNull(id="nn", column="content"),
+            Drift(id="lang_drift", column="lang", test="chi2", baseline="b", alpha=0.01),
+        ],
+    )
+    eng = ValidationEngine(spark, spec, baselines={"b": base})
+    single = eng.run(files)
+    single_drift = {
+        (r["partition_key"], r["constraint_id"]): (r["violation_count"], r["passed"])
+        for r in single.verdicts.filter(F.col("constraint_id") == "lang_drift").collect()
+    }
+    single.unpersist()
+
+    runner = ResumableRunner(
+        ValidationEngine(spark, spec, baselines={"b": base}),
+        str(tmp_path / "drift"), run_id="r1", n_buckets=4,
+    )
+    runner.run(files)
+    gv = runner.global_verdicts()
+    drift_rows = gv.filter(F.col("constraint_id") == "lang_drift").collect()
+    assert len(drift_rows) == 1  # exactly one global drift verdict, not one per bucket
+    got = {(r["partition_key"], r["constraint_id"]): (r["violation_count"], r["passed"]) for r in drift_rows}
+    assert got == single_drift
+    # self-drift passes
+    assert drift_rows[0]["passed"]
+    files.unpersist()
+
+
+def test_staging_partition_pruning(spark, tmp_path):
+    """The per-bucket read is a partition-pruned scan of the staged
+    layout (PartitionFilters on __bucket), not a full-table filter."""
+    files = files_table(spark, n_rows=2000)
+    runner = ResumableRunner(ValidationEngine(spark, SPEC), str(tmp_path / "a"), run_id="r1", n_buckets=4)
+    runner.run(files)
+    staged = runner._staged()
+    plan = staged.filter(F.col("__bucket") == 1)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__bucket" in plan.split("PartitionFilters")[1][:200]
+    # staging holds every bucket exactly once
+    import os as _os
+
+    bucket_dirs = [d for d in _os.listdir(runner._staging_path) if d.startswith("__bucket=")]
+    assert sorted(bucket_dirs) == [f"__bucket={b}" for b in range(4)]

@@ -129,7 +129,10 @@ class ValidationEngine:
     def _sketch_exprs(self):
         cfg = self.config
         exprs = []
-        for col in self.spec.watched_columns:
+        # aliases are keyed by POSITIONAL INDEX, not the expression text:
+        # a watched expression may contain dots/spaces/quotes that would
+        # make a text-derived alias unparseable as a column reference.
+        for i, col in enumerate(self.spec.watched_columns):
             c = F.expr(col) if not col.isidentifier() else F.col(col)
             distinct = (
                 F.count_distinct(c) if cfg.exact or not cfg.approx_distinct else F.approx_count_distinct(c)
@@ -143,15 +146,14 @@ class ValidationEngine:
             # min(prefix(x)) == prefix(min(x)); the sketch loses nothing
             # it would have shipped to the driver anyway.
             prefix = F.substring(c.cast("string"), 1, 64)
-            sane = col.replace("(", "_").replace(")", "_")
             exprs += [
-                F.count(F.lit(1)).alias(f"__st_{sane}__count"),
-                F.sum(c.isNull().cast("long")).alias(f"__st_{sane}__null_count"),
-                distinct.alias(f"__st_{sane}__distinct"),
-                F.min(prefix).alias(f"__st_{sane}__min"),
-                F.max(prefix).alias(f"__st_{sane}__max"),
+                F.count(F.lit(1)).alias(f"__st_{i}__count"),
+                F.sum(c.isNull().cast("long")).alias(f"__st_{i}__null_count"),
+                distinct.alias(f"__st_{i}__distinct"),
+                F.min(prefix).alias(f"__st_{i}__min"),
+                F.max(prefix).alias(f"__st_{i}__max"),
                 F.percentile_approx(numeric, list(cfg.quantiles), cfg.quantile_accuracy).alias(
-                    f"__st_{sane}__quantiles"
+                    f"__st_{i}__quantiles"
                 ),
             ]
         return exprs
@@ -174,14 +176,24 @@ class ValidationEngine:
         _, ids = self._row_counter_exprs()
 
         if ids:
-            stack_args = []
-            for i, cid in enumerate(ids):
-                stack_args.append(f"'{cid}'")
-                stack_args.append(f"__viol_{i}")
-            stacked = agg.selectExpr(
+            # Column API (not a selectExpr string): constraint ids land as
+            # literals, so quotes/commas/backticks in an id cannot alter
+            # or break the expression.
+            pairs = F.inline(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(cid).alias("constraint_id"),
+                            F.col(f"__viol_{i}").alias("violation_count"),
+                        )
+                        for i, cid in enumerate(ids)
+                    ]
+                )
+            )
+            stacked = agg.select(
                 "partition_key",
-                "__total as evaluated_count",
-                f"stack({len(ids)}, {', '.join(stack_args)}) as (constraint_id, violation_count)",
+                F.col("__total").alias("evaluated_count"),
+                pairs,
             )
             verdicts = stacked.select(
                 "partition_key",
@@ -194,20 +206,19 @@ class ValidationEngine:
             verdicts = self.spark.createDataFrame([], schema="partition_key string, constraint_id string, violation_count long, evaluated_count long, passed boolean")
 
         stats_rows = []
-        for col in self.spec.watched_columns:
-            sane = col.replace("(", "_").replace(")", "_")
+        for i, col in enumerate(self.spec.watched_columns):
             stats_rows.append(
                 agg.select(
                     "partition_key",
                     F.lit(col).alias("column"),
-                    F.col(f"__st_{sane}__count").alias("count"),
-                    F.col(f"__st_{sane}__null_count").alias("null_count"),
+                    F.col(f"__st_{i}__count").alias("count"),
+                    F.col(f"__st_{i}__null_count").alias("null_count"),
                     # try_divide: empty partition -> NULL, not an ANSI error
-                    F.try_divide(F.col(f"__st_{sane}__null_count"), F.col(f"__st_{sane}__count")).alias("null_rate"),
-                    F.col(f"__st_{sane}__distinct").cast("long").alias("distinct"),
-                    F.col(f"__st_{sane}__min").alias("min"),
-                    F.col(f"__st_{sane}__max").alias("max"),
-                    F.col(f"__st_{sane}__quantiles").alias("quantiles"),
+                    F.try_divide(F.col(f"__st_{i}__null_count"), F.col(f"__st_{i}__count")).alias("null_rate"),
+                    F.col(f"__st_{i}__distinct").cast("long").alias("distinct"),
+                    F.col(f"__st_{i}__min").alias("min"),
+                    F.col(f"__st_{i}__max").alias("max"),
+                    F.col(f"__st_{i}__quantiles").alias("quantiles"),
                 )
             )
         if stats_rows:

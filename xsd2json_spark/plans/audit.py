@@ -7,27 +7,52 @@ of a bucket column (default: the first key column, e.g. ``repo``). Each
 bucket is validated independently; its verdict/violation outputs land in
 the audit store partitioned by bucket, and a manifest row
 (run_id, bucket, status, violation counts) marks completion. A resumed
-run reads the manifest and skips completed buckets (anti-join on bucket
-id), so a run killed after bucket k re-scans only buckets > k.
+run reads the manifest and skips completed buckets, so a run killed
+after bucket k re-processes only buckets > k.
 
-Correctness requirement on the bucket column: it must functionally
-determine every table-level grouping in the spec (cardinality group_by,
-the leading unique column), so per-bucket evaluation equals global
-evaluation. The default (first key column = repo for the north-star
-spec) satisfies this for unique(repo,path,commit), foreign_key(repo,...)
-and cardinality(repo).
+Scale contract (one input scan, not one per bucket):
+
+1. The input is materialized ONCE into ``<audit_dir>/staging/`` as
+   parquet partitioned by ``__bucket`` (``repartition(__bucket)`` +
+   ``partitionBy``) — a single read + write of the fact table. On
+   resume the staging layout already exists (checked via the parquet
+   ``_SUCCESS`` marker) and is reused with ZERO additional input scans.
+   When the source table is already bucket-partitioned (e.g. an Iceberg
+   table partitioned by ``bucket(N, repo)``), pass
+   ``staged_input_path`` and the staging write is skipped entirely.
+2. Each bucket's evaluation reads only its partition directory
+   (partition pruning — ``PartitionFilters: [__bucket = b]``), so the
+   whole run reads each input byte O(1) times instead of O(n_buckets).
+3. Manifest metrics (n_rows, n_violations) are DERIVED from the
+   engine's verdict rows (already computed, tiny) — no extra ``count()``
+   actions over the data.
+
+Crash-safety: bucket commits are idempotent. Verdicts/violations are
+written with dynamic partition overwrite on ``bucket=N`` — if a crash
+lands between the data write and the manifest append, the resumed run
+re-processes the bucket and OVERWRITES its partition instead of
+appending a second copy, so ``global_verdicts()`` never double-counts.
+
+Drift semantics: distribution-drift constraints are excluded from the
+per-bucket loop (per-bucket drift would run n_buckets lower-powered
+tests against the full baseline — not equal to a single-shot run) and
+evaluated ONCE globally after all data buckets complete, recorded under
+the reserved lineage bucket ``-1``.
 
 Storage: parquet directories by default; an Iceberg catalog table works
 by passing format="iceberg" when the runtime has the Iceberg jars (this
 sandbox does not — the layout is identical either way:
-  <audit_dir>/manifest/            run_id, bucket, status, metrics
+  <audit_dir>/staging/__bucket=N/   bucket-partitioned input copy
+  <audit_dir>/manifest/             run_id, bucket, status, metrics
   <audit_dir>/verdicts/bucket=N/
   <audit_dir>/violations/bucket=N/
 """
 
 from __future__ import annotations
 
+import dataclasses
 import os
+from contextlib import contextmanager
 from dataclasses import dataclass
 from typing import Optional
 
@@ -35,10 +60,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from xsd2json_spark.engine.validate import ValidationEngine
+from xsd2json_spark.spec.constraints import Drift
 
 MANIFEST_SCHEMA = (
     "run_id string, bucket int, status string, n_violations long, n_rows long"
 )
+VERDICT_SCHEMA = (
+    "partition_key string, constraint_id string, violation_count long, "
+    "evaluated_count long, passed boolean"
+)
+DRIFT_BUCKET = -1  # reserved lineage bucket for the single global drift pass
+
+
+@contextmanager
+def _dynamic_partition_overwrite(spark):
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 @dataclass
@@ -48,6 +90,10 @@ class ResumableRunner:
     run_id: str
     n_buckets: int = 16
     bucket_column: Optional[str] = None
+    #: path to an ALREADY bucket-partitioned copy of the input (directory
+    #: layout __bucket=N/); skips the staging write — the Iceberg
+    #: bucket-partitioned-table fast path.
+    staged_input_path: Optional[str] = None
 
     def _bucket_expr(self):
         col = self.bucket_column or (self.engine.spec.key_columns or ["*"])[0]
@@ -56,6 +102,10 @@ class ResumableRunner:
     @property
     def _manifest_path(self):
         return os.path.join(self.audit_dir, "manifest")
+
+    @property
+    def _staging_path(self):
+        return self.staged_input_path or os.path.join(self.audit_dir, "staging")
 
     def completed_buckets(self) -> "set[int]":
         spark = self.engine.spark
@@ -68,27 +118,111 @@ class ResumableRunner:
             .select("bucket")
             .collect()
         )
-        return {r["bucket"] for r in rows}
+        return {r["bucket"] for r in rows if r["bucket"] != DRIFT_BUCKET}
 
-    def run(self, df: DataFrame, fail_after_bucket: Optional[int] = None) -> "set[int]":
+    def drift_done(self) -> bool:
+        spark = self.engine.spark
+        try:
+            m = spark.read.parquet(self._manifest_path)
+        except Exception:
+            return False
+        return (
+            m.filter(
+                (F.col("run_id") == self.run_id)
+                & (F.col("status") == "complete")
+                & (F.col("bucket") == DRIFT_BUCKET)
+            ).limit(1).count()
+            > 0
+        )
+
+    # ------------------------------------------------------------------
+
+    def _ensure_staged(self, df: DataFrame) -> None:
+        """ONE scan of the input: write it partitioned by lineage bucket.
+        Reused verbatim on resume (parquet _SUCCESS marker = the staging
+        job committed; a crash mid-write leaves no marker and re-stages)."""
+        if self.staged_input_path:
+            return
+        if os.path.exists(os.path.join(self._staging_path, "_SUCCESS")):
+            return
+        (
+            df.withColumn("__bucket", self._bucket_expr())
+            .repartition("__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(self._staging_path)
+        )
+
+    def _staged(self) -> DataFrame:
+        return self.engine.spark.read.parquet(self._staging_path)
+
+    def _bucket_engine(self) -> ValidationEngine:
+        """Engine for per-bucket passes: drift constraints stripped (they
+        are evaluated once, globally — see module docstring)."""
+        spec = self.engine.spec
+        no_drift = tuple(c for c in spec.constraints if not isinstance(c, Drift))
+        if len(no_drift) == len(spec.constraints):
+            return self.engine
+        return ValidationEngine(
+            self.engine.spark,
+            dataclasses.replace(spec, constraints=no_drift),
+            dims=self.engine.dims,
+            baselines=self.engine.baselines,
+            config=self.engine.config,
+        )
+
+    def run(
+        self,
+        df: DataFrame,
+        fail_after_bucket: Optional[int] = None,
+        fail_before_manifest: Optional[int] = None,
+    ) -> "set[int]":
         """Validate every not-yet-complete bucket; returns the set of
         buckets processed in THIS invocation. ``fail_after_bucket``
-        simulates a mid-run crash for tests."""
+        simulates a crash after a bucket fully commits;
+        ``fail_before_manifest`` simulates the nastier crash AFTER the
+        bucket's data write but BEFORE its manifest row (the resumed run
+        must overwrite, not duplicate)."""
         spark = self.engine.spark
         done = self.completed_buckets()
-        bucketed = df.withColumn("__bucket", self._bucket_expr())
+        self._ensure_staged(df)
+        staged = self._staged()
+        eng = self._bucket_engine()
         processed: set[int] = set()
         for b in range(self.n_buckets):
             if b in done:
                 continue
-            part = bucketed.filter(F.col("__bucket") == b).drop("__bucket")
-            res = self.engine.run(part)
-            n_rows = part.count()
-            verd = res.verdicts.withColumn("bucket", F.lit(b))
+            # partition-pruned read: only __bucket=b files are scanned
+            part = staged.filter(F.col("__bucket") == b).drop("__bucket")
+            res = eng.run(part)
+            # verdicts are tiny (O(#constraints x #partitions)): collect
+            # once, derive the manifest metrics from them — no count()
+            # jobs over the bucket data.
+            verd_rows = res.verdicts.collect()
+            evaluated = [r["evaluated_count"] for r in verd_rows if r["evaluated_count"] is not None]
+            n_rows = max(evaluated) if evaluated else part.count()
+            n_viol = sum(r["violation_count"] or 0 for r in verd_rows)
+            verd_tuples = [
+                (r["partition_key"], r["constraint_id"], r["violation_count"],
+                 r["evaluated_count"], r["passed"])
+                for r in verd_rows
+            ]
+            verd = spark.createDataFrame(verd_tuples, schema=VERDICT_SCHEMA).withColumn(
+                "bucket", F.lit(b)
+            )
             viol = res.violations.withColumn("bucket", F.lit(b))
-            verd.write.mode("append").partitionBy("bucket").parquet(os.path.join(self.audit_dir, "verdicts"))
-            viol.write.mode("append").partitionBy("bucket").parquet(os.path.join(self.audit_dir, "violations"))
-            n_viol = viol.count()
+            with _dynamic_partition_overwrite(spark):
+                # overwrite ONLY bucket=b: re-processing after a crash
+                # between this write and the manifest append is idempotent
+                viol.write.mode("overwrite").partitionBy("bucket").parquet(
+                    os.path.join(self.audit_dir, "violations")
+                )
+                verd.write.mode("overwrite").partitionBy("bucket").parquet(
+                    os.path.join(self.audit_dir, "verdicts")
+                )
+            res.unpersist()
+            if fail_before_manifest is not None and b >= fail_before_manifest:
+                raise RuntimeError(f"simulated crash before manifest of bucket {b}")
             manifest_row = spark.createDataFrame(
                 [(self.run_id, b, "complete", n_viol, n_rows)], schema=MANIFEST_SCHEMA
             )
@@ -96,13 +230,40 @@ class ResumableRunner:
             processed.add(b)
             if fail_after_bucket is not None and b >= fail_after_bucket:
                 raise RuntimeError(f"simulated crash after bucket {b}")
+        self._run_global_drift()
         return processed
+
+    def _run_global_drift(self) -> None:
+        """Drift constraints evaluate ONCE over the full staged input
+        (identical to a single-shot run), recorded under bucket=-1."""
+        drifts = [c for c in self.engine.spec.constraints if isinstance(c, Drift)]
+        if not drifts or self.drift_done():
+            return
+        from xsd2json_spark.engine.drift import drift_verdict
+
+        spark = self.engine.spark
+        full = self._staged().drop("__bucket")
+        rows = [drift_verdict(spark, full, c, self.engine.baselines) for c in drifts]
+        verd = spark.createDataFrame(rows, schema=VERDICT_SCHEMA).withColumn(
+            "bucket", F.lit(DRIFT_BUCKET)
+        )
+        with _dynamic_partition_overwrite(spark):
+            verd.write.mode("overwrite").partitionBy("bucket").parquet(
+                os.path.join(self.audit_dir, "verdicts")
+            )
+        n_viol = sum(r[2] or 0 for r in rows)
+        manifest_row = spark.createDataFrame(
+            [(self.run_id, DRIFT_BUCKET, "complete", n_viol, None)], schema=MANIFEST_SCHEMA
+        )
+        manifest_row.write.mode("append").parquet(self._manifest_path)
 
     # ------------------------------------------------------------------
 
     def global_verdicts(self) -> DataFrame:
         """Fold per-bucket verdict rows back into global verdicts —
-        the same AC merge discipline as the engine's partial aggregates."""
+        the same AC merge discipline as the engine's partial aggregates.
+        Drift rows (bucket=-1) are already global; the groupBy is a
+        no-op for them."""
         spark = self.engine.spark
         v = spark.read.parquet(os.path.join(self.audit_dir, "verdicts"))
         return (
