@@ -283,15 +283,19 @@ def q_doc_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NGRAM_CAP = 60  # shingles in more docs than this are dropped from the inverted index
+NGRAM_THRESHOLD = 0.05
+
+
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT 3-gram Jaccard pairs (inverted index) on the first 150 docs
-    — the oracle replays the identical CTE in DuckDB. (On this
-    synthetic word-salad corpus every doc shares most shingles, so the
-    frequency cap that guards real corpora would empty the result; it
-    stays uncapped here and the doc_id<150 bound caps the quadratics.)"""
+    """EXACT 3-gram Jaccard pairs via inverted index WITH the
+    doc-frequency cap ON (the guard against the quadratic stop-shingle
+    join — what survives 100 TB). The DuckDB oracle replays the
+    identical capped CTE; capped shingles only shrink the intersection,
+    identically on both sides."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     return D.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.2, max_shingle_freq=10**9
+        docs, "doc_id", "text", n=3, threshold=NGRAM_THRESHOLD, max_shingle_freq=NGRAM_CAP
     ).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
@@ -373,6 +377,43 @@ def q_emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     return S.lsh_topk(emb, qvec, k=10, n_planes=8).select(
+        F.col("vec_id").cast("long").alias("vec_id"), F.round("score", 4).alias("score")
+    )
+
+
+def _ann_index_path(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """Build-once/reuse ANN index for sf_dir (the persisted-bucket scale
+    path: build = one pass, every probe after = partition-pruned read)."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/ann_cache/{kind}_{tag}"
+    if not (
+        os.path.exists(os.path.join(path, "_SUCCESS"))
+        and os.path.exists(os.path.join(path, "_ann_meta.json"))
+    ):
+        emb = _t(spark, sf_dir, "embeddings")
+        S.build_ann_index(emb, path, kind=kind, n_planes=8, seed=42, n_centroids=16, iters=2)
+    return path
+
+
+def q_emb_knn_lsh_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No oracle (LSH bucketing). Partition-pruned probe of a persisted
+    bucket-partitioned index — the query reads only its probe buckets."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    idx = _ann_index_path(spark, sf_dir, "lsh")
+    return S.lsh_topk_indexed(spark, idx, qvec, k=10, multi_probe=1).select(
+        F.col("vec_id").cast("long").alias("vec_id"), F.round("score", 4).alias("score")
+    )
+
+
+def q_emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No oracle (IVF k-means lists). Partition-pruned probe of the
+    persisted inverted-file index; centroid assignment auto-dispatches
+    to an Arrow pandas_udf when k x dim is large."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    idx = _ann_index_path(spark, sf_dir, "ivf")
+    return S.ivf_topk_indexed(spark, idx, qvec, k=10, nprobe=3).select(
         F.col("vec_id").cast("long").alias("vec_id"), F.round("score", 4).alias("score")
     )
 
@@ -473,6 +514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": q_doc_simhash,
         "emb_knn_brute": q_emb_knn_brute,
         "emb_knn_lsh": q_emb_knn_lsh,
+        "emb_knn_lsh_pruned": q_emb_knn_lsh_pruned,
+        "emb_knn_ivf": q_emb_knn_ivf,
         "cv_drift_chi2": q_cv_drift_chi2,
         "cv_resume_lineage": q_cv_resume_lineage,
         "media_image_features": q_media_image_features,
@@ -614,7 +657,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
         """,
-        "doc_ngram_jaccard": r"""
+        "doc_ngram_jaccard": rf"""
             WITH docs AS (
                 SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
                 FROM documents WHERE doc_id < 150
@@ -624,9 +667,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM docs, LATERAL (SELECT unnest(range(1, length(t) - 1)) AS i)
             ),
             sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            -- the same doc-frequency cap the Spark inverted index applies
+            keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= {NGRAM_CAP}),
+            shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
             common AS (
                 SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
-                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
                 GROUP BY 1, 2
             )
             SELECT CAST(ia AS BIGINT) AS id_a, CAST(ib AS BIGINT) AS id_b,
@@ -634,7 +680,7 @@ def oracle_sql() -> dict[str, str]:
             FROM common
             JOIN sz sa ON sa.doc_id = ia
             JOIN sz sb ON sb.doc_id = ib
-            WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 6) >= 0.2
+            WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 6) >= {NGRAM_THRESHOLD}
         """,
         "events_sessionization": """
             SELECT CAST(user_id AS BIGINT) AS user_id,

@@ -37,10 +37,13 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "doc_minhash_dups",
     "doc_quality",
+    "doc_ngram_jaccard",
     "events_sessionization",
     "brand_revenue",
     "emb_knn_brute",
     "emb_knn_lsh",
+    "emb_knn_lsh_pruned",
+    "emb_knn_ivf",
 ]
 
 FILES_SPEC = {

@@ -71,3 +71,56 @@ def test_ivf_topk_recall(spark, emb, query):
 def test_topk_plan_is_take_ordered(spark, emb, query):
     plan = S.cosine_topk(emb, query, k=10)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # no global sort
+
+
+def test_arrow_assignment_matches_exprs(spark, emb):
+    """The Arrow pandas_udf assignment and the Column-expression
+    assignment are the same function."""
+    cents = S.kmeans_centroids(emb, n_centroids=6, iters=1)
+    a = emb.select("vec_id", S.assign_centroid_exprs(F.col("embedding"), cents).alias("c")).collect()
+    b = emb.select("vec_id", S.assign_centroid_arrow(F.col("embedding"), cents).alias("c")).collect()
+    assert {r["vec_id"]: r["c"] for r in a} == {r["vec_id"]: r["c"] for r in b}
+
+
+def test_large_centroid_matrix_dispatches_to_arrow(spark, emb):
+    """k x dim above the threshold must NOT build literal trees — the
+    plan shows an ArrowEvalPython node, not thousands of literals."""
+    rng = np.random.RandomState(0)
+    big = rng.standard_normal((64, 64))  # 4096 >= ARROW_ASSIGN_THRESHOLD
+    df = emb.select(S.assign_centroid(F.col("embedding"), big).alias("c"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    small = rng.standard_normal((4, 64))  # 256 < threshold: stays JVM-side
+    df2 = emb.select(S.assign_centroid(F.col("embedding"), small).alias("c"))
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan2
+
+
+def test_lsh_indexed_matches_unindexed(spark, emb, query, tmp_path):
+    idx = str(tmp_path / "lsh_idx")
+    S.build_ann_index(emb, idx, kind="lsh", n_planes=8, seed=42)
+    got = S.lsh_topk_indexed(spark, idx, query, k=10, multi_probe=1).collect()
+    want = S.lsh_topk(emb, query, k=10, n_planes=8, seed=42, multi_probe=1).collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [(r["vec_id"], r["score"]) for r in want]
+
+
+def test_indexed_probe_is_partition_pruned(spark, emb, query, tmp_path):
+    idx = str(tmp_path / "lsh_idx2")
+    S.build_ann_index(emb, idx, kind="lsh", n_planes=8, seed=42)
+    df = S.lsh_topk_indexed(spark, idx, query, k=10, multi_probe=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters")[1][:300]
+
+
+def test_ivf_indexed_recall(spark, emb, query, tmp_path):
+    idx = str(tmp_path / "ivf_idx")
+    meta = S.build_ann_index(emb, idx, kind="ivf", n_centroids=8, iters=2, seed=42)
+    assert len(meta["centroids"]) == 8
+    got = S.ivf_topk_indexed(spark, idx, query, k=10, nprobe=3).collect()
+    assert got[0]["vec_id"] == 0
+    brute = {w[0] for w in _numpy_topk(emb, query, k=10)}
+    hits = sum(1 for r in got if r["vec_id"] in brute)
+    assert hits >= 5
+    plan = S.ivf_topk_indexed(spark, idx, query, k=10, nprobe=3)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan

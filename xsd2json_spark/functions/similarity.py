@@ -8,17 +8,39 @@
   KB broadcast as literals — and each vector gets a sign-bit bucket;
   queries probe only their bucket (optionally multi-probe neighbors).
 - IVF (inverted-file) ANN: coarse centroids learned with a few k-means
-  iterations expressed as DataFrame aggs; vectors are assigned to the
-  nearest centroid (the inverted list), queries scan only nprobe lists.
+  iterations; vectors are assigned to the nearest centroid (the inverted
+  list), queries scan only nprobe lists.
+
+Two execution regimes for centroid assignment:
+- SMALL (n_centroids x dim below ~4k literals): pure Column expressions,
+  whole-stage-codegen'd, zero Python.
+- LARGE (e.g. dim=768, k=256 -> ~200k expression nodes, which would
+  dominate or kill Catalyst analysis): an Arrow-batched pandas_udf with
+  the centroid matrix captured in the closure — one BLAS matmul per
+  record batch instead of a plan-literal explosion.
+
+Persisted-index path (the 100 TB shape): ``build_ann_index`` writes the
+table partitioned by bucket/list id with the hyperplanes/centroids in a
+``_ann_meta.json`` sidecar; ``*_topk_indexed`` reads only the probed
+partitions (PartitionFilters prune the scan to the probe set — verified
+in tests), so a query touches O(probed lists), not the table.
 """
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Sequence
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+#: above this many (n_centroids x dim) literals the assignment switches
+#: from Column expressions to the Arrow pandas_udf path
+ARROW_ASSIGN_THRESHOLD = 4096
 
 
 def _lit_vec(vec: Sequence[float]) -> Column:
@@ -68,6 +90,19 @@ def lsh_bucket(vec_col: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
+def lsh_probe_set(query_vec: Sequence[float], planes: np.ndarray, multi_probe: int = 1) -> "set[int]":
+    """Query bucket + all buckets within Hamming distance <= multi_probe
+    (near-misses on one hyperplane are the common recall failure)."""
+    n_planes = len(planes)
+    qbits = sum((1 << j) for j, p in enumerate(planes) if float(np.dot(query_vec, p)) > 0)
+    probe = {qbits}
+    if multi_probe >= 1:
+        probe |= {qbits ^ (1 << j) for j in range(n_planes)}
+    if multi_probe >= 2:
+        probe |= {qbits ^ (1 << i) ^ (1 << j) for i in range(n_planes) for j in range(i + 1, n_planes)}
+    return probe
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -78,19 +113,12 @@ def lsh_topk(
     seed: int = 42,
     multi_probe: int = 1,
 ) -> DataFrame:
-    """ANN: score only the vectors in the query's hyperplane bucket,
-    plus multi-probe neighbors (buckets at Hamming distance <=
-    multi_probe from the query bucket — near-misses on one hyperplane
-    are the common failure, so probing them buys most of the recall).
-    At scale, write the table bucketed/partitioned by `bucket` so the
-    probe is a partition-pruned scan."""
+    """ANN over an UNINDEXED table: computes every vector's bucket, then
+    scores only the probe set. One full scan (the bucket computation) —
+    use build_ann_index + lsh_topk_indexed for the partition-pruned
+    probe that skips the scan entirely."""
     planes = hyperplanes(len(query_vec), n_planes, seed)
-    qbits = sum((1 << j) for j, p in enumerate(planes) if float(np.dot(query_vec, p)) > 0)
-    probe = {qbits}
-    if multi_probe >= 1:
-        probe |= {qbits ^ (1 << j) for j in range(n_planes)}
-    if multi_probe >= 2:
-        probe |= {qbits ^ (1 << i) ^ (1 << j) for i in range(n_planes) for j in range(i + 1, n_planes)}
+    probe = lsh_probe_set(query_vec, planes, multi_probe)
     bucketed = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
     cand = bucketed.filter(F.col("__bucket").isin(*[int(b) for b in probe]))
     q = _lit_vec(query_vec)
@@ -137,13 +165,40 @@ def kmeans_centroids(
     return cents
 
 
-def assign_centroid(vec_col: Column, cents: np.ndarray) -> Column:
-    """argmin_j ||v - c_j||^2 == argmax_j (2 v.c_j - ||c_j||^2)."""
+def assign_centroid_exprs(vec_col: Column, cents: np.ndarray) -> Column:
+    """argmin_j ||v - c_j||^2 == argmax_j (2 v.c_j - ||c_j||^2), as pure
+    Column expressions. O(n_centroids x dim) literal nodes — fine for
+    small quantizers, NOT for dim>=128 x k>=64 (use the Arrow path)."""
     scores = []
     for j, c in enumerate(cents):
         s = 2.0 * dot(vec_col, _lit_vec(c)) - float(np.dot(c, c))
         scores.append(F.struct(s.alias("score"), F.lit(j).alias("j")))
     return F.array_max(F.array(*scores))["j"]
+
+
+def assign_centroid_arrow(vec_col: Column, cents: np.ndarray) -> Column:
+    """Arrow-batched centroid assignment: the centroid matrix travels as
+    a pickled closure (k x dim floats — a few MB at most), and each
+    record batch is one numpy matmul. This keeps the Catalyst plan O(1)
+    regardless of k and dim."""
+    c = np.ascontiguousarray(cents, dtype=np.float64)
+    c_norm2 = (c * c).sum(axis=1)
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        m = np.array(v.tolist(), dtype=np.float64)
+        scores = 2.0 * (m @ c.T) - c_norm2
+        return pd.Series(scores.argmax(axis=1).astype(np.int32))
+
+    return _assign(vec_col)
+
+
+def assign_centroid(vec_col: Column, cents: np.ndarray) -> Column:
+    """Auto-dispatch: Column expressions while the literal tree stays
+    small, Arrow pandas_udf beyond ARROW_ASSIGN_THRESHOLD literals."""
+    if cents.size >= ARROW_ASSIGN_THRESHOLD:
+        return assign_centroid_arrow(vec_col, cents)
+    return assign_centroid_exprs(vec_col, cents)
 
 
 def ivf_topk(
@@ -155,15 +210,115 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Scan only the nprobe nearest inverted lists. At scale the
-    assignment column is precomputed and the table is partitioned by it
-    (partition pruning makes the probe cheap)."""
+    """IVF over an UNINDEXED table: assigns every vector on the fly,
+    scans only the nprobe nearest inverted lists. Use build_ann_index +
+    ivf_topk_indexed for the precomputed/partition-pruned form."""
     qa = np.asarray(query_vec, dtype=np.float64)
     d2 = ((cents - qa) ** 2).sum(axis=1)
     probe = [int(j) for j in np.argsort(d2)[:nprobe]]
     assigned = df.withColumn("__c", assign_centroid(F.col(vec_col), cents))
     cand = assigned.filter(F.col("__c").isin(probe))
     q = _lit_vec(query_vec)
+    return (
+        cand.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# persisted-index path: partition-pruned probes (the 100 TB shape)
+# ---------------------------------------------------------------------------
+
+META_FILE = "_ann_meta.json"  # leading underscore: parquet readers skip it
+
+
+def build_ann_index(
+    df: DataFrame,
+    path: str,
+    kind: str = "lsh",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+    n_centroids: int = 16,
+    iters: int = 3,
+) -> dict:
+    """Write the embedding table partitioned by its ANN bucket —
+    ``bucket`` (LSH sign bits) or ``list_id`` (IVF nearest centroid) —
+    with the hyperplanes/centroids in a ``_ann_meta.json`` sidecar.
+    Build cost is ONE pass over the table (assign + repartition on the
+    partition column + write); every subsequent query is a
+    partition-pruned read of just its probe set."""
+    dim = len(df.select(vec_col).first()[0])
+    meta: dict = {"kind": kind, "id_col": id_col, "vec_col": vec_col, "dim": dim}
+    if kind == "lsh":
+        planes = hyperplanes(dim, n_planes, seed)
+        meta["planes"] = planes.tolist()
+        out = df.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+        part_col = "bucket"
+    elif kind == "ivf":
+        cents = kmeans_centroids(df, vec_col=vec_col, n_centroids=n_centroids, iters=iters, seed=seed)
+        meta["centroids"] = cents.tolist()
+        out = df.withColumn("list_id", assign_centroid(F.col(vec_col), cents))
+        part_col = "list_id"
+    else:
+        raise ValueError(f"unknown ANN index kind {kind!r}")
+    # repartition on the partition column: each task writes one bucket's
+    # file instead of every task writing a sliver of every bucket
+    out.repartition(part_col).write.mode("overwrite").partitionBy(part_col).parquet(path)
+    with open(os.path.join(path, META_FILE), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def _load_meta(index_path: str) -> dict:
+    with open(os.path.join(index_path, META_FILE)) as fh:
+        return json.load(fh)
+
+
+def lsh_topk_indexed(
+    spark: SparkSession,
+    index_path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    multi_probe: int = 1,
+) -> DataFrame:
+    """Partition-pruned LSH probe: reads ONLY the probe buckets'
+    partition directories (PartitionFilters, no full scan)."""
+    meta = _load_meta(index_path)
+    planes = np.asarray(meta["planes"], dtype=np.float64)
+    probe = lsh_probe_set(query_vec, planes, multi_probe)
+    df = spark.read.parquet(index_path)
+    cand = df.filter(F.col("bucket").isin(*[int(b) for b in probe]))
+    q = _lit_vec(query_vec)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    return (
+        cand.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    index_path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Partition-pruned IVF probe: nearest-nprobe lists chosen
+    driver-side against the sidecar centroids; only those partition
+    directories are read."""
+    meta = _load_meta(index_path)
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    qa = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((cents - qa) ** 2).sum(axis=1)
+    probe = [int(j) for j in np.argsort(d2)[:nprobe]]
+    df = spark.read.parquet(index_path)
+    cand = df.filter(F.col("list_id").isin(probe))
+    q = _lit_vec(query_vec)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
     return (
         cand.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col))
