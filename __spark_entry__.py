@@ -253,11 +253,27 @@ def q_doc_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """No oracle (bit-vote hashing)."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    """SimHash (md5-bit variant, 32 bits) — EXACTLY replayed by the
+    DuckDB oracle (md5 is the hash both engines share; see
+    dedup.simhash_md5). The production 64-bit xxhash64 simhash is
+    exercised by q_doc_simhash_pairs + pytest goldens."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 300) & F.col("text").isNotNull()
+    )
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        D.simhash(F.col("text")).alias("simhash"),
+        D.simhash_md5(F.col("text"), num_bits=32).alias("simhash32"),
+    )
+
+
+def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No oracle (xxhash64 bit votes). Near-dup pairs via prefix-bit
+    blocking + in-block Hamming verify — the production simhash path."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return D.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=16, prefix_bits=8).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
     )
 
 
@@ -512,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cv_composite_violations": q_cv_composite_violations,
         "doc_minhash_dups": q_doc_minhash_dups,
         "doc_simhash": q_doc_simhash,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_knn_brute": q_emb_knn_brute,
         "emb_knn_lsh": q_emb_knn_lsh,
         "emb_knn_lsh_pruned": q_emb_knn_lsh_pruned,
@@ -681,6 +698,50 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = ia
             JOIN sz sb ON sb.doc_id = ib
             WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 6) >= {NGRAM_THRESHOLD}
+        """,
+        "doc_simhash": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+                FROM documents WHERE doc_id < 300 AND text IS NOT NULL
+            ),
+            bits AS (
+                SELECT doc_id, j.j AS j,
+                       sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(t), 1 + j.j // 4, 1)) - 1)
+                                      >> (j.j % 4)) & 1 = 1
+                                THEN 1 ELSE -1 END) AS vote
+                FROM toks, (SELECT unnest(range(0, 32)) AS j) j
+                GROUP BY doc_id, j.j
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash32
+            FROM bits GROUP BY doc_id
+        """,
+        "doc_langid": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN []
+                            ELSE regexp_split_to_array(lower(regexp_replace(regexp_replace(text, '^\s+', ''), '\s+$', '')), '\s+')
+                       END AS toks
+                FROM documents
+            ),
+            hits AS (
+                SELECT doc_id,
+                       len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS en,
+                       len(list_filter(toks, x -> list_contains(['le','la','de','et','les','des','un','une','du','est'], x))) AS fr,
+                       len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','von','den','mit','für','auf'], x))) AS de,
+                       len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los','las','un','una','es'], x))) AS es
+                FROM base
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CASE WHEN greatest(en, fr, de, es) >= 1 THEN
+                       -- argmax with the same tie-break as Spark's struct
+                       -- array_max: max hits, then lexicographically
+                       -- largest lang (fr > es > en > de)
+                       CASE greatest(en, fr, de, es)
+                           WHEN fr THEN 'fr' WHEN es THEN 'es'
+                           WHEN en THEN 'en' ELSE 'de' END
+                   ELSE 'unknown' END AS lang_detected
+            FROM hits
         """,
         "events_sessionization": """
             SELECT CAST(user_id AS BIGINT) AS user_id,

@@ -49,6 +49,63 @@ def test_simhash_near_duplicates(spark, docs):
     assert h[(1, 2)] == 0  # identical text -> identical simhash
 
 
+def test_minhash_planted_near_dups_recall(spark):
+    """Golden corpus with PLANTED near-dups: banding must retrieve every
+    planted pair (recall 1.0 at J >= 0.6 with 64 hashes / 16 bands) and
+    report the EXACT jaccard for each; unrelated docs must not pair."""
+    base_a = ("the quick brown fox jumps over the lazy dog while the spotted cat "
+              "sleeps soundly in the warm afternoon sun near the old barn door")
+    base_b = ("distributed query engines shuffle partitioned data across executor "
+              "nodes to evaluate joins aggregations and windowed analytics at scale")
+    corpus = [
+        (101, base_a),
+        (102, base_a.replace("lazy", "sleepy")),          # near-dup of 101
+        (103, base_b),
+        (104, base_b.replace("windowed", "streaming")),   # near-dup of 103
+        (201, "completely unrelated text about volcanic geology and mineral strata"),
+        (202, "a short grocery list: eggs milk flour butter sugar vanilla beans"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.6).collect()
+    got = {(p["id_a"], p["id_b"]): p["jaccard"] for p in pairs}
+    assert set(got) == {(101, 102), (103, 104)}  # full recall, zero false pairs
+
+    # reported jaccard equals the exact shingle jaccard
+    sh = {r["doc_id"]: set(r["sh"]) for r in
+          docs.select("doc_id", D.shingles(F.col("text"), 5).alias("sh")).collect()}
+    for (a, b), j in got.items():
+        exact = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+        assert abs(j - exact) < 1e-6
+
+
+def test_simhash_md5_matches_pure_python(spark):
+    """The oracle-replayable md5 simhash agrees with an independent
+    pure-Python reference implementation."""
+    import hashlib
+
+    def ref_simhash_md5(text, num_bits=32):
+        toks = text.strip().lower().split()
+        votes = [0] * num_bits
+        for t in toks:
+            h = hashlib.md5(t.encode()).hexdigest()
+            for j in range(num_bits):
+                bit = (int(h[j // 4], 16) >> (j % 4)) & 1
+                votes[j] += 1 if bit else -1
+        return sum((1 << j) for j in range(num_bits) if votes[j] > 0)
+
+    texts = [
+        "the quick brown fox",
+        "hello world hello again",
+        "x",
+        "mixed CASE Tokens repeat repeat",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: r["s"] for r in
+           df.select("doc_id", D.simhash_md5(F.col("text"), 32).alias("s")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == ref_simhash_md5(t), t
+
+
 def test_ngram_jaccard_exact(spark, docs):
     pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_freq=1000).collect()
     got = {(p["id_a"], p["id_b"]): p["jaccard"] for p in pairs}

@@ -40,6 +40,37 @@ def test_ks_pvalue_behaviour():
     assert p_big < p_small  # same D, more data -> more significant
 
 
+def test_gammainc_q_exponential_identity():
+    # closed form Q(1, x) = exp(-x) — an analytic anchor, not a self-test
+    for x in (0.1, 0.5, 1.0, 2.5, 7.0):
+        assert math.isclose(gammainc_q(1.0, x), math.exp(-x), rel_tol=1e-10)
+
+
+def test_chi2_sf_published_table_values():
+    # standard chi-square critical values (any stats table / scipy):
+    # P[X2_dof >= crit] = alpha
+    table = [
+        (5.991464547107979, 2, 0.05),
+        (7.814727903251179, 3, 0.05),
+        (18.307038053275146, 10, 0.05),
+        (6.6348966010212145, 1, 0.01),
+        (2.705543454095404, 1, 0.10),
+    ]
+    for crit, dof, alpha in table:
+        assert math.isclose(chi2_sf(crit, dof), alpha, rel_tol=1e-8)
+
+
+def test_ks_pvalue_published_critical_values():
+    """Kolmogorov distribution critical values (Smirnov asymptotics):
+    Q_KS(1.224)~0.100, Q_KS(1.358)~0.050, Q_KS(1.628)~0.010. At large
+    effective n the p-value depends only on lambda ~= sqrt(ne)*d."""
+    ne_sqrt = 1000.0  # n1 = n2 = 2e6 -> ne = 1e6
+    n = 2_000_000
+    for lam, alpha in [(1.224, 0.100), (1.358, 0.050), (1.628, 0.010)]:
+        d = lam / (ne_sqrt + 0.12 + 0.11 / ne_sqrt)
+        assert math.isclose(ks_pvalue(d, n, n), alpha, abs_tol=2e-3)
+
+
 @pytest.fixture(scope="module")
 def files(spark):
     df = files_table(spark, n_rows=5000).cache()

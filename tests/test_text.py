@@ -48,6 +48,43 @@ def test_detect_lang(spark):
     assert langs == ["en", "fr", "de", "es", "unknown"]
 
 
+LABELED_SENTENCES = [
+    # en
+    ("en", "the weather is nice and it is a good day for a walk in the park"),
+    ("en", "she said that the results of the experiment were ready for review"),
+    ("en", "it is important to test the system before it goes to production"),
+    ("en", "a list of the tasks that remain is posted on the board for everyone"),
+    ("en", "the train to the city leaves in a quarter of an hour"),
+    # fr
+    ("fr", "le chat dort sur le canapé et les enfants jouent dans le jardin"),
+    ("fr", "la réunion est prévue demain et les documents du projet sont prêts"),
+    ("fr", "un café et une tartine du matin est le meilleur début de la journée"),
+    ("fr", "les résultats des tests est une bonne nouvelle pour le projet"),
+    ("fr", "le train du soir est parti et la gare est maintenant vide"),
+    # de
+    ("de", "der hund läuft durch den park und die kinder spielen mit dem ball"),
+    ("de", "das wetter ist heute schön und die sonne scheint auf den see"),
+    ("de", "die besprechung ist morgen und der bericht ist schon fertig"),
+    ("de", "der zug von berlin ist spät und die reisenden warten mit geduld"),
+    ("de", "das buch ist von einem bekannten autor und die geschichte ist spannend"),
+    # es
+    ("es", "el perro corre por el parque y los niños juegan con una pelota"),
+    ("es", "la reunión es mañana y los documentos del proyecto ya están listos"),
+    ("es", "el tren que va a la ciudad sale en una hora y los pasajeros esperan"),
+    ("es", "es una buena idea que los equipos revisen el plan antes del lanzamiento"),
+    ("es", "la casa que compraron es grande y los cuartos tienen mucha luz"),
+]
+
+
+def test_detect_lang_labeled_accuracy_floor(spark):
+    """Accuracy anchor for the stopword language ID: >= 90% on a labeled
+    mini-corpus across all four languages (not just one happy case)."""
+    df = spark.createDataFrame(LABELED_SENTENCES, "label string, text string")
+    rows = df.select("label", T.detect_lang(F.col("text")).alias("got")).collect()
+    acc = sum(1 for r in rows if r["label"] == r["got"]) / len(rows)
+    assert acc >= 0.9, [(r["label"], r["got"]) for r in rows if r["label"] != r["got"]]
+
+
 def test_fingerprint_normalizes_whitespace_and_case(spark):
     df = spark.createDataFrame([("Hello   World",), ("hello world",)], "text string")
     fps = [r[0] for r in df.select(T.fingerprint(F.col("text"))).collect()]

@@ -25,9 +25,19 @@ def shingles(col: Column, k: int = 5) -> Column:
 
 def minhash_signature(sh: Column, num_hashes: int = 64) -> Column:
     """MinHash signature: per seed j, min over shingles of
-    xxhash64(shingle, j). Array<long> of length num_hashes."""
+    xxhash64(shingle, j). Array<long> of length num_hashes.
+
+    The per-seed lambda MUST be single-parameter: PySpark binds a
+    2-parameter transform lambda as (element, array_index), so the
+    ``lambda s, j=j`` default-capture idiom silently hashes with the
+    element POSITION as the seed (every slot identical — caught by
+    test_minhash_planted_near_dups_recall)."""
+
+    def _min_hash(seed: int):
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
     return F.array(
-        *[F.array_min(F.transform(sh, lambda s, j=j: F.xxhash64(s, F.lit(j)))) for j in range(num_hashes)]
+        *[F.array_min(F.transform(sh, _min_hash(j))) for j in range(num_hashes)]
     )
 
 
@@ -112,6 +122,36 @@ def simhash(col: Column, num_bits: int = 64) -> Column:
         return F.array(
             *[(F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long") for b in range(num_bits)]
         )
+
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), num_bits),
+        lambda acc, t: F.zip_with(acc, _bits_pm1(t), lambda a, v: a + v),
+    )
+    packed = F.lit(0).cast("long")
+    for b in range(num_bits):
+        packed = packed + F.when(
+            F.element_at(votes, b + 1) > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return packed
+
+
+def simhash_md5(col: Column, num_bits: int = 32) -> Column:
+    """SimHash variant whose per-token bits come from md5 hex digits
+    instead of xxhash64 — md5 is the one 128-bit hash both Spark and
+    DuckDB implement identically, so this variant is EXACTLY replayable
+    as an oracle query (bit j of token t = (hexval(md5(t)[j/4]) >> (j%4))
+    & 1). Same vote-and-pack construction as ``simhash``; use that
+    (xxhash64, 64-bit, no hex decode) as the production path."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+
+    def _bits_pm1(t):
+        h = F.md5(t)
+        bits = []
+        for j in range(num_bits):
+            d = F.conv(F.substring(h, 1 + j // 4, 1), 16, 10).cast("int")
+            bits.append(((F.shiftright(d, j % 4).bitwiseAND(F.lit(1))) * 2 - 1).cast("long"))
+        return F.array(*bits)
 
     votes = F.aggregate(
         toks,
