@@ -186,7 +186,17 @@ class XsdCompiler:
     instances, xsd2json.pl:2086-2139)."""
 
     def __init__(self, source: str, base_dir: Optional[str] = None):
-        if os.path.exists(source):
+        if source.startswith(("http://", "https://")):
+            # URL input, matching load_xsd/3's http_open branch
+            # (lib-pl/xsd2json.pl:202-224); includes/imports resolve
+            # against the URL base.
+            import urllib.request
+
+            with urllib.request.urlopen(source) as resp:
+                text = resp.read().decode("utf-8")
+            self.base_dir = base_dir or source.rsplit("/", 1)[0] + "/"
+            self.root = ET.fromstring(text)
+        elif os.path.exists(source):
             self.base_dir = base_dir or os.path.dirname(os.path.abspath(source))
             tree = ET.parse(source)
             self.root = tree.getroot()
@@ -218,6 +228,18 @@ class XsdCompiler:
 
     def _children(self, node, *locals_):
         return [c for c in node if self._local(c.tag) in locals_]
+
+    def _resolve_location(self, loc: str) -> str:
+        """schemaLocation resolution: absolute URLs pass through;
+        relative locations join the parent document's base (URL or
+        filesystem directory)."""
+        if loc.startswith(("http://", "https://")):
+            return loc
+        if str(self.base_dir).startswith(("http://", "https://")):
+            from urllib.parse import urljoin
+
+            return urljoin(self.base_dir, loc)
+        return os.path.join(self.base_dir, loc)
 
     def _serialize_html(self, el) -> str:
         """html_to_string analog (helpers.pl:51-89, lax branch of
@@ -606,7 +628,7 @@ class XsdCompiler:
             loc = inc.get("schemaLocation")
             if not loc:
                 continue
-            nested = XsdCompiler(os.path.join(self.base_dir, loc))
+            nested = XsdCompiler(self._resolve_location(loc))
             nested_schema = nested.compile()
             nested_schema.pop("$schema", None)
             nested_defs = nested_schema.pop("definitions", {})
