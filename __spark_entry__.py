@@ -455,6 +455,29 @@ def q_cv_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cv_drift_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group drift demo (no oracle — p-values): per-lang chi-square
+    of the source mix vs a self-baseline (passes) and vs a mix where ONE
+    lang's sources are rewritten (only that lang fails)."""
+    from xsd2json_spark.engine.drift import chi2_drift_by, make_categorical_baseline_by
+    from xsd2json_spark.spec.constraints import Drift
+
+    docs = _t(spark, sf_dir, "documents")
+    base = make_categorical_baseline_by(docs, "source", ["lang"])
+    c = Drift(id="src_by_lang", column="source", test="chi2", baseline="b",
+              alpha=0.01, group_by=["lang"])
+    rows = []
+    for key, _stat, p in chi2_drift_by(docs, c, base):
+        rows.append(("self", key, bool(p >= 0.01)))
+    shifted = docs.withColumn(
+        "source",
+        F.when(F.col("lang") == "en", F.lit("srcX")).otherwise(F.col("source")),
+    )
+    for key, _stat, p in chi2_drift_by(shifted, c, base):
+        rows.append(("shift_en", key, bool(p >= 0.01)))
+    return spark.createDataFrame(rows, schema="scenario string, lang string, passed boolean")
+
+
 def q_cv_resume_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpoint-resume demo (no oracle): validate documents in 4
     lineage buckets through the audit store, return re-merged global
@@ -534,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_lsh_pruned": q_emb_knn_lsh_pruned,
         "emb_knn_ivf": q_emb_knn_ivf,
         "cv_drift_chi2": q_cv_drift_chi2,
+        "cv_drift_by_lang": q_cv_drift_by_lang,
         "cv_resume_lineage": q_cv_resume_lineage,
         "media_image_features": q_media_image_features,
     }

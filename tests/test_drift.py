@@ -120,3 +120,76 @@ def test_drift_inside_engine(spark, files):
     res = ValidationEngine(spark, spec, baselines=base).run(files)
     vm = {r["constraint_id"]: r for r in res.verdicts.collect()}
     assert vm["drift_lang"]["passed"]
+
+
+# ---------------------------------------------------------------------------
+# per-group drift (SURVEY §4.3)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def grouped(spark):
+    df = spark.range(4000).select(
+        F.when(F.col("id") % 2 == 0, "g1").otherwise("g2").alias("g"),
+        F.when(F.col("id") % 5 < 3, "x").otherwise("y").alias("cat"),
+        (F.col("id") % 100).cast("double").alias("v"),
+    ).cache()
+    df.count()
+    return df
+
+
+def test_chi2_drift_by_group(spark, grouped):
+    from xsd2json_spark.engine.drift import chi2_drift_by, make_categorical_baseline_by
+
+    base = make_categorical_baseline_by(grouped, "cat", ["g"])
+    c = Drift(id="d", column="cat", test="chi2", baseline="b", alpha=0.01, group_by=["g"])
+    res = chi2_drift_by(grouped, c, base)
+    assert len(res) == 2 and all(p > 0.9 for _, _, p in res)  # self-drift passes per group
+
+    # shift ONLY g2's category mix: g1 must still pass, g2 must fail
+    shifted = grouped.withColumn(
+        "cat", F.when((F.col("g") == "g2") & (F.col("cat") == "x"), "y").otherwise(F.col("cat"))
+    )
+    by = {k: p for k, _, p in chi2_drift_by(shifted, c, base)}
+    assert by["g1"] > 0.9 and by["g2"] < 0.01
+
+
+def test_ks_drift_by_group(spark, grouped):
+    from xsd2json_spark.engine.drift import ks_drift_by, make_numeric_baseline_by
+
+    base = make_numeric_baseline_by(grouped, "v", ["g"])
+    c = Drift(id="d", column="v", test="ks", baseline="b", alpha=0.01, group_by=["g"])
+    res = {k: p for k, _, p in ks_drift_by(grouped, c, base)}
+    assert set(res) == {"g1", "g2"} and all(p > 0.5 for p in res.values())
+
+    shifted = grouped.withColumn(
+        "v", F.when(F.col("g") == "g2", F.col("v") + 50.0).otherwise(F.col("v"))
+    )
+    by = {k: p for k, _, p in ks_drift_by(shifted, c, base)}
+    assert by["g1"] > 0.5 and by["g2"] < 0.01
+
+
+def test_unseen_group_counts_as_drift(spark, grouped):
+    from xsd2json_spark.engine.drift import chi2_drift_by, make_categorical_baseline_by
+
+    base = make_categorical_baseline_by(grouped.filter("g = 'g1'"), "cat", ["g"])
+    c = Drift(id="d", column="cat", test="chi2", baseline="b", alpha=0.01, group_by=["g"])
+    by = {k: p for k, _, p in chi2_drift_by(grouped, c, base)}
+    assert by["g2"] == 0.0  # group absent from baseline -> fail, not crash
+
+
+def test_drift_by_group_inside_engine(spark, grouped):
+    from xsd2json_spark.engine.drift import make_categorical_baseline_by
+
+    base = make_categorical_baseline_by(grouped, "cat", ["g"])
+    spec = Spec(
+        name="s", key_columns=["g"],
+        constraints=[Drift(id="dg", column="cat", test="chi2", baseline="b",
+                           alpha=0.01, group_by=["g"])],
+    )
+    eng = ValidationEngine(spark, spec, baselines={"b": base})
+    res = eng.run(grouped)
+    rows = res.verdicts.filter(F.col("constraint_id") == "dg").collect()
+    assert {r["partition_key"] for r in rows} == {"g1", "g2"}
+    assert all(r["passed"] for r in rows)
+    res.unpersist()

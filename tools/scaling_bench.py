@@ -2,21 +2,36 @@
 
 The north rule's N -> 4N executor criterion can't use a real cluster in
 this sandbox, so: run the SAME validation job on the SAME materialized
-input at local[8] (N) and local[32] (4N), each in a fresh JVM, warmed
-up, and report throughput at both plus scaling efficiency
+input at N=8 cores and 4N=32 cores, each in a fresh JVM, warmed up, and
+report throughput at both plus scaling efficiency
 eff = (thr_4N / thr_N) / 4. Writes BENCH/BASELINE.md.
 
-Usage: python tools/scaling_bench.py [n_rows]
+Fidelity choices (each matters on a shared 32-core VM):
+- The 8-core child is CPU-PINNED with `taskset -c 0-7`: a real 8-core
+  executor node has 8 cores for EVERYTHING — GC threads, the JVM's
+  availableProcessors-derived pools, memory traffic. Without pinning,
+  local[8] silently gets 32-core GC + full memory-controller
+  parallelism, overstating N throughput and understating efficiency.
+- Children interleave A/B/A/B so slow host phases hit both levels.
+- Each child does 1 JIT warm-up + TIMED_RUNS timed runs; the report
+  states exactly how many samples back each number.
+- The child also times the two dominant actions (verdict agg pass,
+  violation scan) so the report carries a per-phase efficiency
+  decomposition from the SAME runs.
+
+Usage: python tools/scaling_bench.py [n_rows] [--no-pin]
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TIMED_RUNS = 2  # per child; 2 children per level -> 4 samples per level
 
 CHILD = r"""
 import json, sys, time
@@ -27,7 +42,7 @@ from xsd2json_spark.engine import ValidationEngine
 from xsd2json_spark.sources.synth import repos_dim
 from bench import FILES_SPEC
 
-cores = int(sys.argv[1]); path = sys.argv[2]; n_rows = int(sys.argv[3])
+cores = int(sys.argv[1]); path = sys.argv[2]; n_rows = int(sys.argv[3]); timed = int(sys.argv[4])
 spark = get_spark(app_name=f"scale{{cores}}", master=f"local[{{cores}}]", shuffle_partitions=cores,
                   extra_conf={{"spark.driver.extraJavaOptions": "-XX:+UseParallelGC"}})
 df = spark.read.parquet(path)
@@ -38,24 +53,30 @@ def one_run():
     t0 = time.perf_counter()
     res = eng.run(df)
     res.verdicts.collect()
+    t1 = time.perf_counter()
     res.violations.count()
+    t2 = time.perf_counter()
     res.unpersist()
-    return time.perf_counter() - t0
+    return t2 - t0, t1 - t0, t2 - t1   # total, agg+verdict phase, violation-count phase
 
-one_run()  # JIT warm-up
-times = [one_run()]
-best = min(times)
+one_run()  # JIT warm-up (off the clock)
+times = [one_run() for _ in range(timed)]
+best = min(t[0] for t in times)
 print("RESULT " + json.dumps({{"cores": cores, "sec": round(best, 3),
-    "all_times": [round(t,3) for t in times],
+    "all_times": [round(t[0], 3) for t in times],
+    "agg_phase": [round(t[1], 3) for t in times],
+    "viol_phase": [round(t[2], 3) for t in times],
     "files_per_sec": round(n_rows / best)}}))
 """
 
 
-def run_child(cores: int, path: str, n_rows: int) -> dict:
+def run_child(cores: int, path: str, n_rows: int, pin: bool) -> dict:
     script = CHILD.format(repo=REPO)
+    cmd = [sys.executable, "-c", script, str(cores), path, str(n_rows), str(TIMED_RUNS)]
+    if pin and shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cores), path, str(n_rows)],
-        capture_output=True, text=True, timeout=1200,
+        cmd, capture_output=True, text=True, timeout=3600,
         env={**os.environ, "PYTHONPATH": REPO},
     )
     for line in out.stdout.splitlines():
@@ -65,7 +86,9 @@ def run_child(cores: int, path: str, n_rows: int) -> dict:
 
 
 def main():
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    pin = "--no-pin" not in sys.argv
+    n_rows = int(args[0]) if args else 16_000_000
     path = f"/tmp/bench_files_{n_rows}.parquet"
     if not os.path.exists(path):
         # materialize once with a separate session so both children read identical bytes
@@ -82,45 +105,78 @@ def main():
     # levels equally; keep the best run per level
     results = {8: [], 32: []}
     for cores in (8, 32, 8, 32):
-        results[cores].append(run_child(cores, path, n_rows))
-    n = min(results[8], key=lambda r: r["sec"])
-    n["all_times"] = sorted(t for r in results[8] for t in r["all_times"])
-    n4 = min(results[32], key=lambda r: r["sec"])
-    n4["all_times"] = sorted(t for r in results[32] for t in r["all_times"])
+        r = run_child(cores, path, n_rows, pin=pin)
+        print(f"child local[{cores}]: {r['all_times']} s (agg {r['agg_phase']}, viol {r['viol_phase']})")
+        results[cores].append(r)
+
+    def fold(level):
+        rs = results[level]
+        best = min(rs, key=lambda r: r["sec"])
+        return {
+            "cores": level,
+            "sec": best["sec"],
+            "files_per_sec": best["files_per_sec"],
+            "all_times": sorted(t for r in rs for t in r["all_times"]),
+            "agg_best": min(t for r in rs for t in r["agg_phase"]),
+            "viol_best": min(t for r in rs for t in r["viol_phase"]),
+        }
+
+    n, n4 = fold(8), fold(32)
     eff = (n4["files_per_sec"] / n["files_per_sec"]) / 4.0
+    agg_eff = (n["agg_best"] / n4["agg_best"]) / 4.0
+    viol_eff = (n["viol_best"] / n4["viol_best"]) / 4.0
+    samples = len(n["all_times"])
     report = {
         "n_rows": n_rows,
+        "pinned": pin,
         "local[8]": n,
         "local[32]": n4,
         "scaling_efficiency_8_to_32": round(eff, 3),
+        "agg_phase_efficiency": round(agg_eff, 3),
+        "violation_phase_efficiency": round(viol_eff, 3),
         "target": 0.8,
     }
     print(json.dumps(report, indent=2))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    pin_note = (
+        "the N=8 child is CPU-pinned (`taskset -c 0-7`) so GC threads and\n"
+        "memory traffic see 8 cores, as a real 8-core executor node would"
+        if pin else "NOT CPU-pinned (--no-pin)"
+    )
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(f"""# BENCH baseline — two-parallelism scaling evidence
 
 Per BASELINE.md's measurement plan: the same full-constraint validation
 job (bench.py FILES_SPEC: 6 row-level constraints + unique + FK +
-cardinality, single-pass agg + anti-join) over the SAME deterministic
-synthetic input ({n_rows:,} rows of (repo,path,commit,lang,content),
-materialized parquet), at two local parallelism levels in fresh JVMs,
-JIT-warmed, best of 3.
+cardinality + 3-column sketch; single-pass agg + hash-unique +
+broadcast anti-join) over the SAME deterministic synthetic
+(repo,path,commit,lang,content) parquet ({n_rows:,} rows), at N=8 and
+4N=32 cores in fresh JVMs (ParallelGC), JIT-warmed, children
+interleaved A/B/A/B; {pin_note}.
+Each number is the best of {samples} timed runs ({TIMED_RUNS} per JVM, 2 JVMs per
+level); all samples listed below.
 
 | parallelism | wall-clock (s) | validated files/sec |
 |---|---|---|
-| local[8] (N) | {n["sec"]} | {n["files_per_sec"]:,} |
-| local[32] (4N) | {n4["sec"]} | {n4["files_per_sec"]:,} |
+| 8 cores (N) | {n["sec"]} | {n["files_per_sec"]:,} |
+| 32 cores (4N) | {n4["sec"]} | {n4["files_per_sec"]:,} |
 
 **Scaling efficiency (N -> 4N)** = (thr_4N / thr_N) / 4 =
 **{eff:.3f}** (target >= 0.8).
 
-All runs: local[8] {n["all_times"]}, local[32] {n4["all_times"]} (s).
+Per-phase decomposition from the same runs (best sample per level):
 
-Caveats: single machine — local[8] vs local[32] shares memory bandwidth
-and the parquet page cache, which a real 2-cluster comparison would
-not; shuffle partitions are set to the core count in each run.
+| phase | 8-core (s) | 32-core (s) | efficiency |
+|---|---|---|---|
+| verdict agg pass | {n["agg_best"]} | {n4["agg_best"]} | {agg_eff:.3f} |
+| violation count | {n["viol_best"]} | {n4["viol_best"]} | {viol_eff:.3f} |
+
+All samples (s): 8-core {n["all_times"]}, 32-core {n4["all_times"]}.
+
+Caveats: single machine — the two levels share one memory subsystem and
+parquet page cache, which a real 2-cluster comparison would not;
+shuffle partitions are set to the core count in each run.
 """)
     print("wrote BENCH/BASELINE.md")
 

@@ -99,9 +99,131 @@ def ks_drift(df: DataFrame, c: Drift, baseline: dict) -> "tuple[float, float]":
     return d, ks_pvalue(d, n_base, n_cur)
 
 
-def drift_verdict(spark: SparkSession, df: DataFrame, c: Drift, baselines: dict) -> tuple:
-    """Returns a verdict row tuple (partition_key, constraint_id,
-    violation_count, evaluated_count, passed)."""
+# ---------------------------------------------------------------------------
+# per-group drift (SURVEY §4.3: chi2/KS per (lang, ...) group vs a
+# per-group baseline)
+# ---------------------------------------------------------------------------
+
+
+def make_categorical_baseline_by(df: DataFrame, column: str, group_by) -> dict:
+    """Per-group categorical baseline: ONE aggregation over
+    (group, category) — bounded by #groups x #categories."""
+    gb = list(group_by)
+    rows = df.groupBy(*gb, F.col(column).alias("__cat")).agg(F.count(F.lit(1)).alias("n")).collect()
+    groups: dict = {}
+    for r in rows:
+        if r["__cat"] is None:
+            continue
+        key = "|".join(str(r[g]) for g in gb)
+        groups.setdefault(key, {})[str(r["__cat"])] = r["n"]
+    return {"kind": "categorical_by", "group_by": gb, "groups": groups}
+
+
+def make_numeric_baseline_by(
+    df: DataFrame, expr: str, group_by, grid_points: int = 49
+) -> dict:
+    """Per-group numeric baseline (value grid + ECDF per group), built
+    with applyInPandas — one shuffle on the group key, each group's
+    quantile grid computed inside its Arrow batch."""
+    import numpy as np
+    import pandas as pd
+
+    gb = list(group_by)
+    probs = [i / (grid_points + 1) for i in range(1, grid_points + 1)]
+
+    def _per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pd.to_numeric(pdf["__v"], errors="coerce").dropna().to_numpy()
+        key = "|".join(str(pdf[g].iloc[0]) for g in gb)
+        if len(v) == 0:
+            return pd.DataFrame({"key": [], "n": [], "grid": [], "ecdf": []})
+        grid = np.quantile(v, probs)
+        ecdf = [(v <= q).mean() for q in grid]
+        return pd.DataFrame(
+            {"key": [key], "n": [len(v)], "grid": [grid.tolist()], "ecdf": [ecdf]}
+        )
+
+    src = df.select(*gb, F.expr(expr).cast("double").alias("__v"))
+    out = src.groupBy(*gb).applyInPandas(
+        _per_group, schema="key string, n long, grid array<double>, ecdf array<double>"
+    )
+    groups = {
+        r["key"]: {"n": r["n"], "grid": list(r["grid"]), "ecdf": list(r["ecdf"])}
+        for r in out.collect()
+    }
+    return {"kind": "numeric_by", "group_by": gb, "groups": groups}
+
+
+def chi2_drift_by(df: DataFrame, c: Drift, baseline: dict) -> "list[tuple]":
+    """Per-group Pearson chi-square in ONE aggregation pass: groupBy
+    (group, category).count(), statistic + p-value driver-side per group
+    (O(#groups x #categories), no row collect).
+    Returns [(group_key, stat, p), ...]."""
+    gb = list(c.group_by)
+    rows = (
+        df.groupBy(*gb, _value_col(c).alias("__cat"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    observed: dict = {}
+    for r in rows:
+        if r["__cat"] is None:
+            continue
+        key = "|".join(str(r[g]) for g in gb)
+        observed.setdefault(key, {})[str(r["__cat"])] = r["n"]
+    out = []
+    for key, obs in sorted(observed.items()):
+        base_counts = baseline["groups"].get(key)
+        if not base_counts:
+            out.append((key, float("nan"), 0.0))  # unseen group = drift
+            continue
+        total = sum(base_counts.values())
+        probs = {k: v / total for k, v in base_counts.items()}
+        stat, dof = chi2_stat(obs, probs)
+        out.append((key, stat, chi2_sf(stat, dof)))
+    return out
+
+
+def ks_drift_by(df: DataFrame, c: Drift, baseline: dict) -> "list[tuple]":
+    """Per-group two-sample KS via applyInPandas (SURVEY §4.3): each
+    group's current ECDF is evaluated at ITS baseline grid inside one
+    Arrow batch per group; p-values driver-side.
+    Returns [(group_key, d_statistic, p), ...]."""
+    import numpy as np
+    import pandas as pd
+
+    gb = list(c.group_by)
+    grids = {k: (g["grid"], g["ecdf"], g["n"]) for k, g in baseline["groups"].items()}
+
+    def _per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = "|".join(str(pdf[g].iloc[0]) for g in gb)
+        v = pd.to_numeric(pdf["__v"], errors="coerce").dropna().to_numpy()
+        if key not in grids or len(v) == 0:
+            return pd.DataFrame({"key": [key], "d": [float("nan")], "n_cur": [len(v)]})
+        grid, base_ecdf, _ = grids[key]
+        d = max(abs((v <= q).mean() - e) for q, e in zip(grid, base_ecdf))
+        return pd.DataFrame({"key": [key], "d": [float(d)], "n_cur": [len(v)]})
+
+    src = df.select(*gb, (F.expr(c.expr) if c.expr else F.col(c.column)).cast("double").alias("__v"))
+    rows = src.groupBy(*gb).applyInPandas(
+        _per_group, schema="key string, d double, n_cur long"
+    ).collect()
+    out = []
+    for r in sorted(rows, key=lambda r: r["key"]):
+        key = r["key"]
+        if key not in grids or r["n_cur"] == 0 or r["d"] != r["d"]:
+            out.append((key, float("nan"), 0.0))  # unseen group / no data = drift
+            continue
+        n_base = grids[key][2]
+        out.append((key, r["d"], ks_pvalue(r["d"], n_base, r["n_cur"])))
+    return out
+
+
+def drift_verdict(spark: SparkSession, df: DataFrame, c: Drift, baselines: dict):
+    """Global drift: returns ONE verdict row tuple (partition_key,
+    constraint_id, violation_count, evaluated_count, passed). With
+    c.group_by set, delegates to drift_verdicts_by (one row per group)."""
+    if c.group_by:
+        return drift_verdicts_by(spark, df, c, baselines)
     baseline: Optional[dict] = baselines.get(c.baseline)
     if baseline is None:
         raise KeyError(f"drift {c.id}: baseline snapshot {c.baseline!r} not provided")
@@ -111,3 +233,17 @@ def drift_verdict(spark: SparkSession, df: DataFrame, c: Drift, baselines: dict)
         stat, p = ks_drift(df, c, baseline)
     passed = p >= c.alpha
     return ("ALL", c.id, 0 if passed else 1, None, passed)
+
+
+def drift_verdicts_by(spark: SparkSession, df: DataFrame, c: Drift, baselines: dict) -> "list[tuple]":
+    """Per-group drift verdicts: one (partition_key=group, ...) row per
+    group present in the data or the baseline."""
+    baseline: Optional[dict] = baselines.get(c.baseline)
+    if baseline is None:
+        raise KeyError(f"drift {c.id}: baseline snapshot {c.baseline!r} not provided")
+    results = chi2_drift_by(df, c, baseline) if c.test == "chi2" else ks_drift_by(df, c, baseline)
+    rows = []
+    for key, _stat, p in results:
+        passed = p >= c.alpha
+        rows.append((key, c.id, 0 if passed else 1, None, passed))
+    return rows

@@ -368,7 +368,8 @@ class ValidationEngine:
             elif isinstance(c, Drift):
                 from xsd2json_spark.engine.drift import drift_verdict
 
-                drift_rows.append(drift_verdict(self.spark, df, c, self.baselines))
+                dv = drift_verdict(self.spark, df, c, self.baselines)
+                drift_rows.extend(dv if isinstance(dv, list) else [dv])
                 continue
             else:  # pragma: no cover
                 continue

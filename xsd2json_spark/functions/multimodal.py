@@ -53,28 +53,61 @@ IMAGE_FEATURE_SCHEMA = StructType(
 FEATURE_DIM = 32
 
 
+def pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def _decode_image_bytes(payload: bytes, strict: bool = False) -> np.ndarray:
-    """STUB: real impl would be PIL.Image.open(BytesIO(payload)).
-    Deterministic fake: payload bytes seed a fixed-dim pseudo-feature.
-    strict=True raises instead (it must be passed as a closure value —
-    a module global would not survive pickling to the Python workers)."""
+    """STUB codec: payload bytes seed a fixed-dim pseudo-feature
+    (deterministic, shape-correct). strict=True raises instead (it must
+    be passed as a closure value — a module global would not survive
+    pickling to the Python workers). The real decoder is
+    _decode_image_pil; select it with image_features(codec='pil')."""
     if strict:
-        raise NotImplementedError("image decode requires PIL; not in this container")
+        raise NotImplementedError("strict mode: no codec selected")
     seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little") & 0x7FFFFFFF
     rng = np.random.RandomState(seed)
     return rng.standard_normal(FEATURE_DIM).astype(np.float32)
 
 
-def image_features(media: DataFrame, batch_hint: int = 1024, strict: bool = False) -> DataFrame:
+def _decode_image_pil(payload: bytes) -> np.ndarray:
+    """Real codec (used when PIL is importable on the workers): decode,
+    grayscale, resize to 8x4, normalize to [0,1] — a FEATURE_DIM-float
+    thumbnail feature. Import happens inside the worker call so the
+    driver never needs PIL."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((8, FEATURE_DIM // 8))
+    arr = np.asarray(img, dtype=np.float32).reshape(-1) / 255.0
+    return arr[:FEATURE_DIM]
+
+
+def image_features(
+    media: DataFrame, batch_hint: int = 1024, strict: bool = False, codec: str = "fake"
+) -> DataFrame:
     """Arrow-batched feature extraction over image rows. The Spark side
     (filter pushdown on kind, column pruning to (media_id,payload,w,h),
-    Arrow batch iteration) is production-shaped; only the codec is fake.
-    """
+    Arrow batch iteration) is identical for every codec — only the
+    per-payload decode differs: codec='fake' (deterministic stub,
+    default — container has no image libs) or codec='pil' (real decode
+    when PIL is importable on the workers)."""
+    if codec not in ("fake", "pil"):
+        raise ValueError(f"unknown codec {codec!r}")
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _decode_image_pil if codec == "pil" else (
+            lambda p: _decode_image_bytes(p, strict)
+        )
         for pdf in batches:
             feats = [
-                _decode_image_bytes(p if isinstance(p, (bytes, bytearray)) else bytes(p), strict).tolist()
+                decode(p if isinstance(p, (bytes, bytearray)) else bytes(p)).tolist()
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame(

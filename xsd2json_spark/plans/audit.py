@@ -243,7 +243,10 @@ class ResumableRunner:
 
         spark = self.engine.spark
         full = self._staged().drop("__bucket")
-        rows = [drift_verdict(spark, full, c, self.engine.baselines) for c in drifts]
+        rows = []
+        for c in drifts:
+            dv = drift_verdict(spark, full, c, self.engine.baselines)
+            rows.extend(dv if isinstance(dv, list) else [dv])
         verd = spark.createDataFrame(rows, schema=VERDICT_SCHEMA).withColumn(
             "bucket", F.lit(DRIFT_BUCKET)
         )

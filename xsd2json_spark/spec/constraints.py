@@ -279,8 +279,12 @@ class Drift(Constraint):
     baseline: str = ""  # logical snapshot name
     alpha: float = 0.01
     expr: Optional[str] = None
+    #: evaluate the test per group (e.g. per lang) against a per-group
+    #: baseline snapshot — one verdict row per group
+    group_by: Sequence[str] = ()
 
     def __post_init__(self):
+        object.__setattr__(self, "group_by", tuple(self.group_by))
         if self.test not in ("chi2", "ks"):
             raise SpecError(f"drift {self.id}: unknown test {self.test!r}")
 

@@ -130,6 +130,7 @@ def _mk(doc: Mapping, idx: int) -> Constraint:
             baseline=doc.get("baseline", ""),
             alpha=float(doc.get("alpha", 0.01)),
             expr=doc.get("expr"),
+            group_by=doc.get("group_by", ()),
         )
     raise SpecError(f"constraint {cid}: unknown kind {kind!r}")
 
