@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod  # noqa: E402
 from xsd2json_spark import spec_from_dict  # noqa: E402
-from xsd2json_spark.engine import ValidationEngine  # noqa: E402
+from xsd2json_spark.engine import EngineConfig, ValidationEngine  # noqa: E402
 from xsd2json_spark.session import get_spark  # noqa: E402
 from xsd2json_spark.sources.synth import files_table, repos_dim  # noqa: E402
 
@@ -77,7 +77,14 @@ def bench_validation_throughput(spark, n_rows: int) -> dict:
     df = spark.read.parquet(path)
 
     def one_run():
-        eng = ValidationEngine(spark, spec_from_dict(FILES_SPEC), dims={"repos_dim": repos_dim(spark)})
+        # TRUE single-pass engine mode (observe/CollectMetrics): the
+        # metric is literally "validated files/sec, all constraints,
+        # single pass"
+        eng = ValidationEngine(
+            spark, spec_from_dict(FILES_SPEC),
+            dims={"repos_dim": repos_dim(spark)},
+            config=EngineConfig(single_pass=True),
+        )
         t0 = time.perf_counter()
         res = eng.run(df)
         res.verdicts.collect()

@@ -271,3 +271,68 @@ def test_generation_parallelism_invariant(spark):
     a = files_table(spark, n_rows=2000, partitions=2)
     b = files_table(spark, n_rows=2000, partitions=16)
     assert a.exceptAll(b).count() == 0
+
+
+def test_single_pass_observe_matches_two_pass(spark):
+    """config.single_pass rides verdict counters + sketch on the
+    violation scan (CollectMetrics): same verdicts and violations as
+    the two-pass plan, one wide-column scan instead of two."""
+    from xsd2json_spark import spec_from_dict
+    from xsd2json_spark.sources.synth import files_table, repos_dim
+
+    spec = spec_from_dict({
+        "name": "sp",
+        "key_columns": ["repo", "path", "commit"],
+        "watched_columns": ["content", "lang"],
+        "constraints": [
+            {"kind": "not_null", "id": "nn", "column": "content"},
+            {"kind": "enum", "id": "en", "column": "lang",
+             "values": ["python", "java", "scala", "go", "js", "sql"]},
+            {"kind": "pattern", "id": "hex", "column": "commit", "pattern": "[0-9a-f]{40}"},
+            {"kind": "unique", "id": "uq", "columns": ["repo", "path", "commit"]},
+            {"kind": "foreign_key", "id": "fk", "columns": ["repo"],
+             "ref_table": "repos_dim", "broadcast": True},
+            {"kind": "cardinality", "id": "card", "group_by": ["repo"], "min": 1},
+        ],
+    })
+    files = files_table(spark, n_rows=20_000).cache()
+    files.count()
+    dims = {"repos_dim": repos_dim(spark)}
+
+    def vmap(res):
+        return {
+            (r["partition_key"], r["constraint_id"]): (r["violation_count"], r["passed"])
+            for r in res.verdicts.collect()
+        }
+
+    two = ValidationEngine(spark, spec, dims=dims).run(files)
+    one = ValidationEngine(spark, spec, dims=dims, config=EngineConfig(single_pass=True)).run(files)
+    assert vmap(one) == vmap(two)
+    a = two.violations
+    b = one.violations
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # the single-pass violations plan carries the observed metrics node
+    plan = one.violations._jdf.queryExecution().analyzed().toString()
+    assert "CollectMetrics" in plan
+    # stats present with sane values
+    st = {r["column"]: r for r in one.stats.collect()}
+    assert st["content"]["count"] == 20_000 and st["content"]["null_count"] >= 0
+    one.unpersist()
+    two.unpersist()
+    files.unpersist()
+
+
+def test_single_pass_falls_back_for_partitioned_specs(spark):
+    from xsd2json_spark import spec_from_dict
+    from xsd2json_spark.sources.synth import files_table
+
+    spec = spec_from_dict({
+        "name": "sp2", "key_columns": ["repo"], "partition_by": ["lang"],
+        "constraints": [{"kind": "not_null", "id": "nn", "column": "content"}],
+    })
+    files = files_table(spark, n_rows=2_000)
+    res = ValidationEngine(spark, spec, config=EngineConfig(single_pass=True)).run(files)
+    rows = res.verdicts.collect()
+    assert len(rows) >= 2  # per-partition verdicts still work (two-pass fallback)
+    assert all(r["partition_key"] != "ALL" for r in rows)
+    res.unpersist()

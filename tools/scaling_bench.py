@@ -43,13 +43,21 @@ from xsd2json_spark.sources.synth import repos_dim
 from bench import FILES_SPEC
 
 cores = int(sys.argv[1]); path = sys.argv[2]; n_rows = int(sys.argv[3]); timed = int(sys.argv[4])
+single_pass = len(sys.argv) > 5 and sys.argv[5] == "1"
+# equal 48g heap at BOTH levels (measured: 8g heap costs local[32]
+# ~45% throughput via GC pressure; equal heaps also avoid handicapping
+# either level)
 spark = get_spark(app_name=f"scale{{cores}}", master=f"local[{{cores}}]", shuffle_partitions=cores,
-                  extra_conf={{"spark.driver.extraJavaOptions": "-XX:+UseParallelGC"}})
+                  extra_conf={{"spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+                               "spark.driver.memory": "48g"}})
 df = spark.read.parquet(path)
 df.count()
 
+from xsd2json_spark.engine import EngineConfig
+cfg = EngineConfig(single_pass=single_pass)
+
 def one_run():
-    eng = ValidationEngine(spark, spec_from_dict(FILES_SPEC), dims={{"repos_dim": repos_dim(spark)}})
+    eng = ValidationEngine(spark, spec_from_dict(FILES_SPEC), dims={{"repos_dim": repos_dim(spark)}}, config=cfg)
     t0 = time.perf_counter()
     res = eng.run(df)
     res.verdicts.collect()
@@ -70,9 +78,10 @@ print("RESULT " + json.dumps({{"cores": cores, "sec": round(best, 3),
 """
 
 
-def run_child(cores: int, path: str, n_rows: int, pin: bool) -> dict:
+def run_child(cores: int, path: str, n_rows: int, pin: bool, single_pass: bool) -> dict:
     script = CHILD.format(repo=REPO)
-    cmd = [sys.executable, "-c", script, str(cores), path, str(n_rows), str(TIMED_RUNS)]
+    cmd = [sys.executable, "-c", script, str(cores), path, str(n_rows), str(TIMED_RUNS),
+           "1" if single_pass else "0"]
     if pin and shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(
@@ -88,6 +97,7 @@ def run_child(cores: int, path: str, n_rows: int, pin: bool) -> dict:
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     pin = "--no-pin" not in sys.argv
+    single_pass = "--two-pass" not in sys.argv  # observe-mode engine by default
     n_rows = int(args[0]) if args else 16_000_000
     path = f"/tmp/bench_files_{n_rows}.parquet"
     if not os.path.exists(path):
@@ -105,7 +115,7 @@ def main():
     # levels equally; keep the best run per level
     results = {8: [], 32: []}
     for cores in (8, 32, 8, 32):
-        r = run_child(cores, path, n_rows, pin=pin)
+        r = run_child(cores, path, n_rows, pin=pin, single_pass=single_pass)
         print(f"child local[{cores}]: {r['all_times']} s (agg {r['agg_phase']}, viol {r['viol_phase']})")
         results[cores].append(r)
 
@@ -129,6 +139,7 @@ def main():
     report = {
         "n_rows": n_rows,
         "pinned": pin,
+        "single_pass_engine": single_pass,
         "local[8]": n,
         "local[32]": n4,
         "scaling_efficiency_8_to_32": round(eff, 3),
@@ -149,8 +160,9 @@ def main():
 
 Per BASELINE.md's measurement plan: the same full-constraint validation
 job (bench.py FILES_SPEC: 6 row-level constraints + unique + FK +
-cardinality + 3-column sketch; single-pass agg + hash-unique +
-broadcast anti-join) over the SAME deterministic synthetic
+cardinality + 3-column sketch; engine mode:
+{"TRUE single-pass (observe/CollectMetrics — one wide-column scan/run)" if single_pass else "two-pass"};
+hash-unique + broadcast anti-join) over the SAME deterministic synthetic
 (repo,path,commit,lang,content) parquet ({n_rows:,} rows), at N=8 and
 4N=32 cores in fresh JVMs (ParallelGC), JIT-warmed, children
 interleaved A/B/A/B; {pin_note}.

@@ -68,6 +68,14 @@ class EngineConfig:
     # the true key discards it). The dominant cost at repo scale is this
     # shuffle, so this is the default.
     unique_via_hash: bool = True
+    # TRUE single-pass mode: verdict counters + stats sketch ride the
+    # violation scan as observed metrics (df.observe / CollectMetrics),
+    # so the wide fact columns are decompressed ONCE per run instead of
+    # twice. Restrictions: global specs only (no partition_by — observe
+    # is a grand aggregate) and approx distinct (observe rejects
+    # DISTINCT aggregates). run() falls back to the two-pass plan when
+    # the spec needs either.
+    single_pass: bool = False
 
 
 @dataclass
@@ -126,7 +134,7 @@ class ValidationEngine:
             ids.append(c.id)
         return exprs, ids
 
-    def _sketch_exprs(self):
+    def _sketch_exprs(self, force_approx: bool = False):
         cfg = self.config
         exprs = []
         # aliases are keyed by POSITIONAL INDEX, not the expression text:
@@ -134,9 +142,8 @@ class ValidationEngine:
         # make a text-derived alias unparseable as a column reference.
         for i, col in enumerate(self.spec.watched_columns):
             c = F.expr(col) if not col.isidentifier() else F.col(col)
-            distinct = (
-                F.count_distinct(c) if cfg.exact or not cfg.approx_distinct else F.approx_count_distinct(c)
-            )
+            exact = (cfg.exact or not cfg.approx_distinct) and not force_approx
+            distinct = F.count_distinct(c) if exact else F.approx_count_distinct(c)
             numeric = c.try_cast("double")
             # min/max over a 64-char PREFIX, not the full value: string
             # min/max puts a var-length value in the agg buffer, which
@@ -350,7 +357,14 @@ class ValidationEngine:
         from the (persisted) violations union with one groupBy, instead
         of one eager .count() job per constraint — at scale each extra
         action is another full scan. Only drift is eager (its statistic
-        is a driver-side formula over tiny aggregates)."""
+        is a driver-side formula over tiny aggregates).
+
+        With config.single_pass (global specs with row-level
+        constraints), the verdict counters + sketch instead ride the
+        violation scan as observed metrics — ONE decompression of the
+        wide fact columns per run instead of two."""
+        if self.config.single_pass and not self.spec.partition_by and self.spec.row_level():
+            return self._run_single_pass(df)
         verdicts, stats = self.row_verdicts_and_stats(df)
 
         keys = list(self.spec.key_columns) or df.columns[:1]
@@ -414,6 +428,90 @@ class ValidationEngine:
             stats=stats,
             _cached=tuple(d for d in cached if d is not None),
         )
+
+    def _run_single_pass(self, df: DataFrame) -> ValidationResult:
+        """TRUE single-pass: df.observe attaches every verdict counter
+        and sketch aggregate to the violation scan (CollectMetrics), so
+        the one job that computes violation rows ALSO yields the
+        verdicts/stats — the fact table's wide columns are read and
+        decompressed exactly once. Table-level constraints still run
+        their own (column-pruned, key-only) plans inside the same
+        action via the violations union. Eager by construction: the
+        metrics only exist after the action, so run() executes it."""
+        from pyspark.sql import Observation
+
+        counter_exprs, ids = self._row_counter_exprs()
+        sketch_exprs = self._sketch_exprs(force_approx=True)  # observe rejects DISTINCT aggs
+        obs = Observation()
+        observed = df.observe(obs, *counter_exprs, *sketch_exprs, F.count(F.lit(1)).alias("__total"))
+
+        keys = list(self.spec.key_columns) or df.columns[:1]
+        all_viol = [self.row_violations(observed)]
+        table_ids = []
+        drift_rows = []
+        for c in self.spec.table_level():
+            if isinstance(c, Unique):
+                v = self.unique_violations(df, c)
+            elif isinstance(c, ForeignKey):
+                v = self.fk_violations(df, c)
+            elif isinstance(c, Cardinality):
+                v = self.cardinality_violations(df, c)
+            elif isinstance(c, Drift):
+                from xsd2json_spark.engine.drift import drift_verdict
+
+                dv = drift_verdict(self.spark, df, c, self.baselines)
+                drift_rows.extend(dv if isinstance(dv, list) else [dv])
+                continue
+            else:  # pragma: no cover
+                continue
+            table_ids.append(c.id)
+            all_viol.append(self._conform_violations(v, keys))
+
+        violations = all_viol[0]
+        for v in all_viol[1:]:
+            violations = violations.unionByName(v)
+        violations = violations.persist()
+        # THE action: materializes violation rows, fires the observed
+        # metrics, and yields per-constraint violation counts in one go
+        counts = {
+            r["constraint_id"]: r["n"]
+            for r in violations.groupBy("constraint_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        metrics = dict(obs.get)
+
+        total = metrics.get("__total", 0) or 0
+        vrows = []
+        for i, cid in enumerate(ids):
+            n = metrics.get(f"__viol_{i}") or 0
+            vrows.append(("ALL", cid, int(n), int(total), n == 0))
+        for cid in table_ids:
+            n = counts.get(cid, 0)
+            vrows.append(("ALL", cid, int(n), None, n == 0))
+        vrows.extend(drift_rows)
+        verdicts = self.spark.createDataFrame(
+            vrows,
+            schema="partition_key string, constraint_id string, violation_count long, "
+            "evaluated_count long, passed boolean",
+        )
+
+        srows = []
+        for i, col in enumerate(self.spec.watched_columns):
+            cnt = metrics.get(f"__st_{i}__count") or 0
+            nulls = metrics.get(f"__st_{i}__null_count") or 0
+            q = metrics.get(f"__st_{i}__quantiles")
+            srows.append(
+                ("ALL", col, int(cnt), int(nulls),
+                 (nulls / cnt) if cnt else None,
+                 int(metrics.get(f"__st_{i}__distinct") or 0),
+                 metrics.get(f"__st_{i}__min"), metrics.get(f"__st_{i}__max"),
+                 [float(x) for x in q] if q is not None else None)
+            )
+        stats = self.spark.createDataFrame(
+            srows,
+            schema="partition_key string, column string, count long, null_count long, "
+            "null_rate double, distinct long, min string, max string, quantiles array<double>",
+        )
+        return ValidationResult(verdicts=verdicts, violations=violations, stats=stats, _cached=(violations,))
 
     def _conform_violations(self, v: DataFrame, keys) -> DataFrame:
         cols = []
