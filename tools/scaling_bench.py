@@ -97,7 +97,11 @@ def run_child(cores: int, path: str, n_rows: int, pin: bool, single_pass: bool) 
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     pin = "--no-pin" not in sys.argv
-    single_pass = "--two-pass" not in sys.argv  # observe-mode engine by default
+    # two-pass engine by default: measured at 64M/local[32], the
+    # observe-mode single pass is ~2x SLOWER (139s vs 75s — the
+    # CollectMetrics node defeats whole-stage codegen around the scan);
+    # --single-pass opts in for comparison runs
+    single_pass = "--single-pass" in sys.argv
     n_rows = int(args[0]) if args else 16_000_000
     path = f"/tmp/bench_files_{n_rows}.parquet"
     if not os.path.exists(path):
@@ -107,7 +111,9 @@ def main():
         from xsd2json_spark.sources.synth import files_table
 
         spark = get_spark(app_name="gen")
-        files_table(spark, n_rows=n_rows, partitions=64).write.mode("overwrite").parquet(path)
+        # 256 files -> ~8 task waves at 32 cores (64 files gave exactly
+        # 2 waves with straggler tails; smaller tasks smooth them out)
+        files_table(spark, n_rows=n_rows, partitions=256).write.mode("overwrite").parquet(path)
         spark.stop()
 
     # interleave N/4N children (A/B/A/B) so slow host phases (this is a

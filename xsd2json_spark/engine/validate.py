@@ -75,6 +75,12 @@ class EngineConfig:
     # is a grand aggregate) and approx distinct (observe rejects
     # DISTINCT aggregates). run() falls back to the two-pass plan when
     # the spec needs either.
+    # MEASURED CAVEAT (keep default False): at 64M rows / local[32] the
+    # single pass is ~2x SLOWER end-to-end (139s vs 75s) — the
+    # CollectMetrics node breaks whole-stage codegen around the scan,
+    # and two codegen'd columnar scans beat one interpreted scan. Use
+    # it when the scan is genuinely IO-bound (cold object storage),
+    # not page-cache-hot local parquet.
     single_pass: bool = False
 
 
