@@ -111,9 +111,10 @@ def main():
         from xsd2json_spark.sources.synth import files_table
 
         spark = get_spark(app_name="gen")
-        # 256 files -> ~8 task waves at 32 cores (64 files gave exactly
-        # 2 waves with straggler tails; smaller tasks smooth them out)
-        files_table(spark, n_rows=n_rows, partitions=256).write.mode("overwrite").parquet(path)
+        # 64 files at 64M rows (~82MB each): tried 256 smaller files for
+        # smoother task waves at 32 cores — measurement was noise-
+        # dominated (97-152s vs 75s best), no reproducible win
+        files_table(spark, n_rows=n_rows, partitions=64).write.mode("overwrite").parquet(path)
         spark.stop()
 
     # interleave N/4N children (A/B/A/B) so slow host phases (this is a

@@ -14,13 +14,43 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def shingles(col: Column, k: int = 5) -> Column:
-    """Set of character k-shingles (lowercased, whitespace-normalized)."""
-    norm = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+def normalized_text(col: Column) -> Column:
+    """Lowercased, whitespace-normalized text (the shingle base)."""
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def shingles_of_normalized(norm: Column, k: int = 5) -> Column:
+    """Set of character k-shingles over an ALREADY-normalized column.
+
+    PERFORMANCE CONTRACT: pass a projected attribute (a real column),
+    not an expression. Higher-order functions are interpreted, and an
+    expression captured inside the transform lambda is re-evaluated PER
+    ARRAY ELEMENT — with the regex normalization inline that is one
+    regex pass per character, O(len^2) per document (measured 14 s to
+    shingle 150 docs of 300 chars). Projecting the normalization first
+    makes the lambda read a bound attribute. The two-step shape in
+    shingled()/the pair functions keeps Catalyst's CollapseProject from
+    re-inlining it (non-cheap expr referenced more than once)."""
     n = F.length(norm)
     return F.when(n < k, F.array(norm)).otherwise(
         F.array_distinct(F.transform(F.sequence(F.lit(1), n - k + 1), lambda i: norm.substr(i, F.lit(k))))
     )
+
+
+def shingles(col: Column, k: int = 5) -> Column:
+    """Set of character k-shingles (lowercased, whitespace-normalized).
+    Single-expression form — convenient for tests/small data; for the
+    scale path prefer shingled() which projects the normalization once
+    per row (see shingles_of_normalized)."""
+    return shingles_of_normalized(normalized_text(col), k)
+
+
+def shingled(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(__id, __sh) with the normalization materialized in its own
+    projection — one regex pass per ROW, not per shingle."""
+    return df.select(
+        F.col(id_col).alias("__id"), normalized_text(F.col(text_col)).alias("__norm")
+    ).select("__id", shingles_of_normalized(F.col("__norm"), k).alias("__sh"))
 
 
 def minhash_signature(sh: Column, num_hashes: int = 64) -> Column:
@@ -87,9 +117,9 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     rows = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__sh")
-    ).withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+    base = shingled(df, id_col, text_col, k).withColumn(
+        "__sig", minhash_signature(F.col("__sh"), num_hashes)
+    )
     banded = base.select(
         "__id", "__sh", F.explode(band_keys(F.col("__sig"), bands, rows)).alias("__bk")
     )
@@ -199,7 +229,7 @@ def ngram_jaccard_pairs(
     then J = common / (|A| + |B| - common). No approximation besides the
     frequency cap (capped shingles can only LOWER recall near the
     threshold; report the cap)."""
-    sh = df.select(F.col(id_col).alias("__id"), shingles(F.col(text_col), n).alias("__sh"))
+    sh = shingled(df, id_col, text_col, n)
     sizes = sh.select("__id", F.size("__sh").alias("__sz"))
     inv = sh.select("__id", F.explode("__sh").alias("__s"))
     freq = inv.groupBy("__s").agg(F.count(F.lit(1)).alias("__f")).filter(F.col("__f") <= max_shingle_freq)
