@@ -8,9 +8,11 @@ both sides (the driver hash-compares values after sorting columns by
 name). Floating aggregates are rounded on BOTH sides to dodge
 summation-order low-bit drift.
 
-Non-SQL-expressible entries (language ID, MinHash LSH, SimHash, LSH/IVF
-ANN, drift) intentionally have no oracle — the driver records a
-rows-only check for them.
+Non-SQL-expressible entries (MinHash LSH pairs, xxhash64 SimHash
+pairs, IVF ANN, drift p-values, multimodal codec) intentionally have no
+oracle — the driver records a rows-only check, and each carries a
+pytest golden instead (planted-dup recall, published-value p-value
+pins, labeled-corpus accuracy).
 """
 
 from __future__ import annotations
@@ -389,7 +391,8 @@ def q_emb_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """No oracle (LSH bucketing)."""
+    """ORACLE-checked: the hyperplanes are deterministic, so DuckDB
+    replays the bucket bits + multi-probe + cosine top-k exactly."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     return S.lsh_topk(emb, qvec, k=10, n_planes=8).select(
@@ -412,8 +415,9 @@ def _ann_index_path(spark: SparkSession, sf_dir: str, kind: str) -> str:
 
 
 def q_emb_knn_lsh_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """No oracle (LSH bucketing). Partition-pruned probe of a persisted
-    bucket-partitioned index — the query reads only its probe buckets."""
+    """ORACLE-checked (same replay as emb_knn_lsh). Partition-pruned
+    probe of a persisted bucket-partitioned index — the query reads only
+    its probe buckets and must return exactly the full-scan rows."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     idx = _ann_index_path(spark, sf_dir, "lsh")
@@ -479,9 +483,10 @@ def q_cv_drift_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cv_resume_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Checkpoint-resume demo (no oracle): validate documents in 4
-    lineage buckets through the audit store, return re-merged global
-    verdicts — equal to a single-shot run."""
+    """Checkpoint-resume through the audit store: validate documents in
+    4 lineage buckets, return re-merged global verdicts. ORACLE-checked:
+    the bucket-merged counts must equal the direct SQL verdict counts —
+    the per-bucket == global property, verified by DuckDB."""
     import tempfile
 
     from xsd2json_spark.plans.audit import ResumableRunner
@@ -563,9 +568,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _lsh_oracle() -> str:
+    """DuckDB replay of hyperplane LSH: the planes are deterministic
+    (numpy seed 42) so they embed as literal DOUBLE[] rows; bucket =
+    sign bits of plane dot products, probe = query bucket + Hamming-1
+    neighbors — identical to functions/similarity.lsh_topk (and the
+    partition-pruned indexed probe, which returns the same rows)."""
+    from xsd2json_spark.functions.similarity import hyperplanes
+
+    planes = hyperplanes(64, 8, 42)  # testdata embeddings are dim 64
+    vals = ", ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in p)}]::DOUBLE[])"
+        for j, p in enumerate(planes)
+    )
+    probe_xors = ", ".join(str(1 << j) for j in range(8))
+    return f"""
+        WITH planes(j, p) AS (VALUES {vals}),
+        b AS (
+            SELECT e.vec_id, e.embedding,
+                   CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) > 0
+                            THEN (1::BIGINT << pl.j) ELSE 0 END) AS BIGINT) AS bucket
+            FROM embeddings e CROSS JOIN planes pl
+            GROUP BY e.vec_id, e.embedding
+        ),
+        q AS (SELECT bucket AS qb, embedding AS qe FROM b WHERE vec_id = 0),
+        cand AS (
+            SELECT b.vec_id, round(list_cosine_similarity(b.embedding, q.qe), 6) AS s6
+            FROM b, q
+            WHERE b.bucket = q.qb OR xor(b.bucket, q.qb) IN ({probe_xors})
+        )
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, round(s6, 4) AS score
+        FROM cand ORDER BY s6 DESC, vec_id LIMIT 10
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     lang_list = "('en','fr','de','es')"
+    resume_checks = f"""
+            WITH checks(constraint_id, violation_count) AS (
+                SELECT 'text_not_null', count(*) FILTER (WHERE text IS NULL) FROM documents
+                UNION ALL
+                SELECT 'lang_enum', count(*) FILTER (WHERE lang IS NOT NULL AND lang NOT IN {lang_list}) FROM documents
+                UNION ALL
+                SELECT 'nchars_range', count(*) FILTER (WHERE n_chars IS NOT NULL AND NOT (n_chars >= 1 AND n_chars <= 350)) FROM documents
+                UNION ALL
+                SELECT 'text_minlen', count(*) FILTER (WHERE text IS NOT NULL AND NOT (length(text) BETWEEN 10 AND 100000)) FROM documents
+                UNION ALL
+                SELECT 'source_pattern', count(*) FILTER (WHERE source IS NOT NULL AND NOT regexp_full_match(source, '(?:src[0-9])')) FROM documents
+            )
+            SELECT constraint_id,
+                   CAST(violation_count AS BIGINT) AS violation_count,
+                   violation_count = 0 AS passed
+            FROM checks
+        """
     return {
+        "cv_resume_lineage": resume_checks,
+        "emb_knn_lsh": _lsh_oracle(),
+        "emb_knn_lsh_pruned": _lsh_oracle(),
         "cv_verdicts": f"""
             WITH checks(constraint_id, violation_count) AS (
                 SELECT 'text_not_null', count(*) FILTER (WHERE text IS NULL) FROM documents
