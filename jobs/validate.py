@@ -62,10 +62,11 @@ def main(argv=None) -> int:
         res.stats.write.mode("overwrite").parquet(os.path.join(args.output, "stats"))
         verdicts = res.verdicts
 
-    failed = [r for r in verdicts.collect() if not r["passed"]]
+    verdict_rows = verdicts.collect()
+    failed = [r for r in verdict_rows if not r["passed"]]
     for r in sorted(failed, key=lambda r: r["constraint_id"]):
         print(f"FAIL {r['constraint_id']} partition={r['partition_key']} violations={r['violation_count']}")
-    print(f"validated: {len(verdicts.collect())} verdict rows, {len(failed)} failed")
+    print(f"validated: {len(verdict_rows)} verdict rows, {len(failed)} failed")
     return 1 if failed else 0
 
 

@@ -112,3 +112,34 @@ def test_ngram_jaccard_exact(spark, docs):
     assert got[(1, 2)] == 1.0
     assert got[(4, 5)] == 1.0  # whitespace/case-normalized
     assert (1, 4) not in got
+
+
+def test_minhash_sql_equals_column_api(spark, docs):
+    """The F.expr fast-path kernel and the Column-API kernel are the
+    same function, for both hash families."""
+    sh = D.shingled(docs, "doc_id", "text", 5)
+    for fam in ("xxhash64", "md5"):
+        a = sh.select("__id", D.minhash_signature(F.col("__sh"), 16, fam).alias("s"))
+        b = sh.select("__id", D.minhash_signature("__sh", 16, fam).alias("s"))
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    ba = sh.select(D.band_keys(D.minhash_signature(F.col("__sh"), 16), 4, 4).alias("k"))
+    bb = sh.select(D.band_keys(D.minhash_signature("__sh", 16), 4, 4).alias("k"))
+    assert ba.exceptAll(bb).count() == 0
+
+
+def test_minhash_md5_family_finds_planted_dups(spark):
+    """The oracle configuration (md5 family, string band keys) has the
+    same recall on planted near-dups as the production kernel."""
+    base = [
+        " ".join(f"tok{i}w{j}" for j in range(40)) for i in range(20)
+    ]
+    rows = [(i, t) for i, t in enumerate(base)]
+    # plant 5 near-dups: copy with one token changed
+    for i in range(5):
+        rows.append((100 + i, base[i].replace(f"tok{i}w5", "CHANGED")))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.6, family="md5", hashed_bands=False
+    ).collect()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert {(i, 100 + i) for i in range(5)} <= found

@@ -193,3 +193,36 @@ def test_drift_by_group_inside_engine(spark, grouped):
     assert {r["partition_key"] for r in rows} == {"g1", "g2"}
     assert all(r["passed"] for r in rows)
     res.unpersist()
+
+
+def test_vanished_group_counts_as_drift(spark, grouped):
+    """A group present in the BASELINE but absent from the current data
+    must emit a fail row (population vanished = drift), for chi2 and KS."""
+    from xsd2json_spark.engine.drift import (
+        chi2_drift_by,
+        ks_drift_by,
+        make_categorical_baseline_by,
+        make_numeric_baseline_by,
+    )
+
+    only_g1 = grouped.filter("g = 'g1'")
+    cbase = make_categorical_baseline_by(grouped, "cat", ["g"])
+    c = Drift(id="d", column="cat", test="chi2", baseline="b", alpha=0.01, group_by=["g"])
+    by = {k: p for k, _, p in chi2_drift_by(only_g1, c, cbase)}
+    assert by["g2"] == 0.0 and by["g1"] > 0.9
+
+    nbase = make_numeric_baseline_by(grouped, "v", ["g"])
+    ck = Drift(id="d", column="v", test="ks", baseline="b", alpha=0.01, group_by=["g"])
+    byk = {k: p for k, _, p in ks_drift_by(only_g1, ck, nbase)}
+    assert byk["g2"] == 0.0 and byk["g1"] > 0.5
+
+
+def test_group_key_escaping_distinguishes_collisions():
+    """('a|b','c') vs ('a','b|c') and NULL vs 'None' must produce
+    DISTINCT keys (a raw '|'.join silently merges their distributions)."""
+    from xsd2json_spark.engine.drift import group_key
+
+    assert group_key(["a|b", "c"]) != group_key(["a", "b|c"])
+    assert group_key([None]) != group_key(["None"])
+    assert group_key(["a\\|b"]) != group_key(["a|b"])
+    assert group_key(["g1"]) == "g1"  # plain single keys stay natural

@@ -139,3 +139,40 @@ def test_staging_partition_pruning(spark, tmp_path):
 
     bucket_dirs = [d for d in _os.listdir(runner._staging_path) if d.startswith("__bucket=")]
     assert sorted(bucket_dirs) == [f"__bucket={b}" for b in range(4)]
+
+
+def test_new_run_id_restages_fresh_input(spark, tmp_path):
+    """A staged copy is bound to its run_id: a NEW run_id against the
+    same audit_dir must re-stage from the live input, not silently
+    validate the previous run's stale copy."""
+    audit = str(tmp_path / "a")
+    clean = files_table(spark, n_rows=1000)
+    r1 = ResumableRunner(ValidationEngine(spark, SPEC), audit, run_id="r1", n_buckets=4)
+    r1.run(clean)
+    nn_before = [v for (pk, cid), v in _verdict_map(r1.global_verdicts()).items() if cid == "nn"][0][0]
+
+    # second run, NEW run_id, input now nulls out far more content rows
+    dirty = clean.withColumn(
+        "content", F.when(F.xxhash64("path") % 3 == 0, F.lit(None)).otherwise(F.col("content"))
+    )
+    expected = dirty.filter("content is null").count()
+    assert expected > nn_before
+    r2 = ResumableRunner(ValidationEngine(spark, SPEC), audit, run_id="r2", n_buckets=4)
+    r2.run(dirty)
+    nn_after = [v for (pk, cid), v in _verdict_map(r2.global_verdicts()).items() if cid == "nn"][0][0]
+    assert nn_after == expected  # new input's nulls seen -> staged copy was refreshed
+
+
+def test_same_run_id_reuses_staging(spark, tmp_path):
+    """Same run_id: the staged copy is reused verbatim (zero re-stage)."""
+    import os as _os
+
+    audit = str(tmp_path / "a")
+    files = files_table(spark, n_rows=500)
+    r1 = ResumableRunner(ValidationEngine(spark, SPEC), audit, run_id="r1", n_buckets=2)
+    r1.run(files)
+    before = sorted(_os.listdir(_os.path.join(audit, "staging", "__bucket=0")))
+    r2 = ResumableRunner(ValidationEngine(spark, SPEC), audit, run_id="r1", n_buckets=2)
+    r2.run(files)
+    after = sorted(_os.listdir(_os.path.join(audit, "staging", "__bucket=0")))
+    assert before == after  # same part files -> not rewritten

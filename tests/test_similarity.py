@@ -124,3 +124,25 @@ def test_ivf_indexed_recall(spark, emb, query, tmp_path):
     assert hits >= 5
     plan = S.ivf_topk_indexed(spark, idx, query, k=10, nprobe=3)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_assign_centroid_arrow_rejects_null_and_ragged(spark):
+    """Null / wrong-dim embedding rows raise an explicit error instead of
+    producing a garbled object-array matmul."""
+    import numpy as np
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    cents = np.random.RandomState(0).standard_normal((4, 8))
+    bad = spark.createDataFrame(
+        [(0, [0.1] * 8), (1, None), (2, [0.2] * 8)], "vec_id int, embedding array<double>"
+    )
+    with _pytest.raises(Exception) as ei:
+        bad.select(S.assign_centroid_arrow(F.col("embedding"), cents)).collect()
+    assert "null/ragged" in str(ei.value)
+    ragged = spark.createDataFrame(
+        [(0, [0.1] * 8), (1, [0.1] * 5)], "vec_id int, embedding array<double>"
+    )
+    with _pytest.raises(Exception) as ei2:
+        ragged.select(S.assign_centroid_arrow(F.col("embedding"), cents)).collect()
+    assert "null/ragged" in str(ei2.value)

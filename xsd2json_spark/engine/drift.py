@@ -47,6 +47,20 @@ def _value_col(c: Drift):
     return F.expr(c.expr) if c.expr else F.col(c.column)
 
 
+def group_key(values) -> str:
+    """Unambiguous group key for multi-column group_by. A bare
+    '|'.join(str(v)) collides ('a|b','c') with ('a','b|c') and NULL with
+    the string 'None', silently merging distinct groups' distributions —
+    so the separator and backslash are escaped and NULL gets its own
+    token. Single pipe-free string values keep their natural key."""
+    def esc(v):
+        if v is None:
+            return "\\N"
+        return str(v).replace("\\", "\\\\").replace("|", "\\|")
+
+    return "|".join(esc(v) for v in values)
+
+
 def make_categorical_baseline(df: DataFrame, column: str) -> dict:
     rows = df.groupBy(column).agg(F.count(F.lit(1)).alias("n")).collect()
     return {"kind": "categorical", "counts": {str(r[column]): r["n"] for r in rows if r[column] is not None}}
@@ -114,7 +128,7 @@ def make_categorical_baseline_by(df: DataFrame, column: str, group_by) -> dict:
     for r in rows:
         if r["__cat"] is None:
             continue
-        key = "|".join(str(r[g]) for g in gb)
+        key = group_key([r[g] for g in gb])
         groups.setdefault(key, {})[str(r["__cat"])] = r["n"]
     return {"kind": "categorical_by", "group_by": gb, "groups": groups}
 
@@ -133,7 +147,7 @@ def make_numeric_baseline_by(
 
     def _per_group(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pd.to_numeric(pdf["__v"], errors="coerce").dropna().to_numpy()
-        key = "|".join(str(pdf[g].iloc[0]) for g in gb)
+        key = group_key([pdf[g].iloc[0] for g in gb])
         if len(v) == 0:
             return pd.DataFrame({"key": [], "n": [], "grid": [], "ecdf": []})
         grid = np.quantile(v, probs)
@@ -157,7 +171,10 @@ def chi2_drift_by(df: DataFrame, c: Drift, baseline: dict) -> "list[tuple]":
     """Per-group Pearson chi-square in ONE aggregation pass: groupBy
     (group, category).count(), statistic + p-value driver-side per group
     (O(#groups x #categories), no row collect).
-    Returns [(group_key, stat, p), ...]."""
+    Returns [(group_key, stat, p), ...] — one row per group present in
+    the data OR the baseline: a baseline group with no current rows
+    (a vanished population, the classic drift signal) fails with p=0
+    instead of silently producing no verdict."""
     gb = list(c.group_by)
     rows = (
         df.groupBy(*gb, _value_col(c).alias("__cat"))
@@ -168,7 +185,7 @@ def chi2_drift_by(df: DataFrame, c: Drift, baseline: dict) -> "list[tuple]":
     for r in rows:
         if r["__cat"] is None:
             continue
-        key = "|".join(str(r[g]) for g in gb)
+        key = group_key([r[g] for g in gb])
         observed.setdefault(key, {})[str(r["__cat"])] = r["n"]
     out = []
     for key, obs in sorted(observed.items()):
@@ -180,6 +197,8 @@ def chi2_drift_by(df: DataFrame, c: Drift, baseline: dict) -> "list[tuple]":
         probs = {k: v / total for k, v in base_counts.items()}
         stat, dof = chi2_stat(obs, probs)
         out.append((key, stat, chi2_sf(stat, dof)))
+    for key in sorted(set(baseline["groups"]) - set(observed)):
+        out.append((key, float("nan"), 0.0))  # vanished group = drift
     return out
 
 
@@ -187,7 +206,9 @@ def ks_drift_by(df: DataFrame, c: Drift, baseline: dict) -> "list[tuple]":
     """Per-group two-sample KS via applyInPandas (SURVEY §4.3): each
     group's current ECDF is evaluated at ITS baseline grid inside one
     Arrow batch per group; p-values driver-side.
-    Returns [(group_key, d_statistic, p), ...]."""
+    Returns [(group_key, d_statistic, p), ...] — baseline groups with no
+    current rows (vanished populations) emit a (key, nan, 0.0) fail row
+    like chi2_drift_by."""
     import numpy as np
     import pandas as pd
 
@@ -195,7 +216,7 @@ def ks_drift_by(df: DataFrame, c: Drift, baseline: dict) -> "list[tuple]":
     grids = {k: (g["grid"], g["ecdf"], g["n"]) for k, g in baseline["groups"].items()}
 
     def _per_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        key = "|".join(str(pdf[g].iloc[0]) for g in gb)
+        key = group_key([pdf[g].iloc[0] for g in gb])
         v = pd.to_numeric(pdf["__v"], errors="coerce").dropna().to_numpy()
         if key not in grids or len(v) == 0:
             return pd.DataFrame({"key": [key], "d": [float("nan")], "n_cur": [len(v)]})
@@ -215,6 +236,9 @@ def ks_drift_by(df: DataFrame, c: Drift, baseline: dict) -> "list[tuple]":
             continue
         n_base = grids[key][2]
         out.append((key, r["d"], ks_pvalue(r["d"], n_base, r["n_cur"])))
+    seen = {r["key"] for r in rows}
+    for key in sorted(set(grids) - seen):
+        out.append((key, float("nan"), 0.0))  # vanished group = drift
     return out
 
 

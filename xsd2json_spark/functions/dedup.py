@@ -53,31 +53,146 @@ def shingled(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     ).select("__id", shingles_of_normalized(F.col("__norm"), k).alias("__sh"))
 
 
-def minhash_signature(sh: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: per seed j, min over shingles of
-    xxhash64(shingle, j). Array<long> of length num_hashes.
+#: MinHash values live in [0, 2^32): (u1 + j*u2) mod 2^32 never
+#: overflows a long even at j=63, so the kernel is safe under Spark 4's
+#: default ANSI arithmetic (no wrap-around multiply available there).
+_MASK32 = (1 << 32) - 1
+#: sentinel above any 32-bit hash — the fold's initial per-slot minimum
+_MIN_INIT = 1 << 33
 
-    The per-seed lambda MUST be single-parameter: PySpark binds a
-    2-parameter transform lambda as (element, array_index), so the
-    ``lambda s, j=j`` default-capture idiom silently hashes with the
-    element POSITION as the seed (every slot identical — caught by
-    test_minhash_planted_near_dups_recall)."""
 
-    def _min_hash(seed: int):
-        return lambda s: F.xxhash64(s, F.lit(seed))
+def minhash_hash_family(s: Column, num_hashes: int, family: str = "xxhash64") -> Column:
+    """All ``num_hashes`` 32-bit hash values of ONE shingle, computed
+    with exactly TWO base-hash evaluations (Kirsch–Mitzenmacher double
+    hashing: h_j = (u1 + j*u2) mod 2^32 behaves like an independent
+    family for min-wise use — the standard Bloom-filter construction).
 
-    return F.array(
-        *[F.array_min(F.transform(sh, _min_hash(j))) for j in range(num_hashes)]
+    The base hashes are computed once inside a single-element
+    transform(): the lambda variable is a BOUND value, so the 64 slot
+    expressions read u1/u2 instead of re-evaluating the base hash —
+    higher-order functions are interpreted and re-evaluate captured
+    expressions per reference (the round-2 O(len^2) lesson).
+
+    family='xxhash64' is the production path (one JVM hash); family
+    ='md5' derives u1/u2 from md5 hex digits — md5 is the one hash
+    Spark and DuckDB share, which makes the whole signature -> band ->
+    pair pipeline exactly replayable as a DuckDB oracle."""
+    mask = F.lit(_MASK32).cast("long")
+    if family == "xxhash64":
+        pre = F.array(
+            F.struct(
+                F.xxhash64(s).bitwiseAND(mask).alias("u1"),
+                F.xxhash64(s, F.lit(1)).bitwiseAND(mask).bitwiseOR(F.lit(1)).alias("u2"),
+            )
+        )
+    elif family == "md5":
+        h = F.md5(s)
+        pre = F.array(
+            F.struct(
+                F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("u1"),
+                F.conv(F.substring(h, 9, 8), 16, 10).cast("long").bitwiseOR(F.lit(1)).alias("u2"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown minhash family {family!r}")
+    expanded = F.transform(
+        pre,
+        lambda st: F.array(
+            *[
+                (st["u1"] + F.lit(j).cast("long") * st["u2"]).bitwiseAND(mask)
+                for j in range(num_hashes)
+            ]
+        ),
+    )
+    return F.element_at(expanded, 1)
+
+
+def minhash_signature_sql(col_name: str, num_hashes: int = 64, family: str = "xxhash64") -> str:
+    """The signature kernel as ONE Spark-SQL expression string.
+
+    Semantically identical to ``minhash_signature`` over a column — kept
+    as a string because building the 64-slot expression tree through the
+    Column API costs hundreds of py4j round-trips (~1-2 s of pure driver
+    time per query build, measured); one F.expr parse is ~10 ms. The
+    equality of the two forms is pinned by
+    test_minhash_sql_equals_column_api."""
+    if family == "xxhash64":
+        u1 = f"xxhash64(s) & {_MASK32}"
+        u2 = f"xxhash64(s, 1) & {_MASK32} | 1"
+    elif family == "md5":
+        u1 = f"cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)"
+        u2 = f"cast(conv(substring(md5(s), 9, 8), 16, 10) as bigint) | 1"
+    else:
+        raise ValueError(f"unknown minhash family {family!r}")
+    slots = ", ".join(f"(st.u1 + {j} * st.u2) & {_MASK32}" for j in range(num_hashes))
+    hashes = (
+        f"transform(array(named_struct('u1', {u1}, 'u2', {u2})), st -> array({slots}))[0]"
+    )
+    return (
+        f"aggregate({col_name}, "
+        f"array_repeat(cast({_MIN_INIT} as bigint), {num_hashes}), "
+        f"(acc, s) -> zip_with(acc, {hashes}, (a, b) -> least(a, b)))"
     )
 
 
-def band_keys(sig: Column, bands: int = 16, rows: int = 4) -> Column:
-    """LSH banding: hash each band of `rows` signature slots; docs
-    sharing ANY band key are candidates."""
+def minhash_signature(sh, num_hashes: int = 64, family: str = "xxhash64") -> Column:
+    """MinHash signature (array<long>, length num_hashes) in a SINGLE
+    traversal of the shingle array: one F.aggregate whose accumulator is
+    the element-wise running minimum of the per-shingle hash family.
+
+    Round 2 shipped 64 independent ``array_min(transform(sh, ...))``
+    passes — 64 interpreted traversals and 64 xxhash64 calls per
+    shingle; this fold is one traversal and two base hashes per shingle
+    (then 64 cheap multiply-adds), which is what made doc_minhash_dups
+    the slowest bench query. Same banding semantics downstream.
+
+    Pass a column NAME (str) to take the F.expr fast path (one SQL parse
+    instead of hundreds of py4j calls — see minhash_signature_sql).
+
+    (Historical footnote kept because it bites: a 2-parameter transform
+    lambda is bound as (element, array_index), so ``lambda s, j=j``
+    silently hashed with the element POSITION as the seed.)"""
+    if isinstance(sh, str):
+        return F.expr(minhash_signature_sql(sh, num_hashes, family))
+    init = F.array_repeat(F.lit(_MIN_INIT).cast("long"), num_hashes)
+    return F.aggregate(
+        sh,
+        init,
+        lambda acc, s: F.zip_with(
+            acc, minhash_hash_family(s, num_hashes, family), lambda a, b: F.least(a, b)
+        ),
+    )
+
+
+def band_keys_sql(col_name: str, bands: int = 16, rows: int = 4, hashed: bool = True) -> str:
+    """``band_keys`` as one SQL expression string (same py4j-round-trip
+    rationale as minhash_signature_sql)."""
+    entries = []
+    for b in range(bands):
+        joined = (
+            f"concat_ws(',', transform(slice({col_name}, {b * rows + 1}, {rows}), "
+            f"x -> cast(x as string)))"
+        )
+        key = f"xxhash64({joined})" if hashed else joined
+        entries.append(f"named_struct('band', {b}, 'h', {key})")
+    return f"array({', '.join(entries)})"
+
+
+def band_keys(sig, bands: int = 16, rows: int = 4, hashed: bool = True) -> Column:
+    """LSH banding: key each band of `rows` signature slots; docs
+    sharing ANY band key are candidates. hashed=True keys on
+    xxhash64 of the band (8-byte shuffle key — the scale default);
+    hashed=False keys on the comma-joined slot string, which DuckDB can
+    reproduce exactly (the oracle path). Pass a column NAME (str) for
+    the one-parse F.expr fast path."""
+    if isinstance(sig, str):
+        return F.expr(band_keys_sql(sig, bands, rows, hashed))
     keys = []
     for b in range(bands):
         sl = F.slice(sig, b * rows + 1, rows)
-        keys.append(F.struct(F.lit(b).alias("band"), F.xxhash64(F.concat_ws(",", F.transform(sl, lambda x: x.cast("string")))).alias("h")))
+        joined = F.concat_ws(",", F.transform(sl, lambda x: x.cast("string")))
+        key = F.xxhash64(joined) if hashed else joined
+        keys.append(F.struct(F.lit(b).alias("band"), key.alias("h")))
     return F.array(*keys)
 
 
@@ -110,33 +225,48 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
+    family: str = "xxhash64",
+    hashed_bands: bool = True,
+    cache_base: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH:
       shingle -> minhash -> band -> bucket self-join -> exact-Jaccard
       verify on candidates only.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
-    """
+
+    Shuffle shape: the band self-join carries only (id, band-key) — the
+    shingle sets do NOT ride through it 16x (they are joined back for
+    the exact-Jaccard verify of surviving candidates only). The
+    (id, shingles, signature) base is computed ONCE and persisted
+    (MEMORY_AND_DISK) because the self-join + verify read it three
+    times; at warehouse scale write it to a table instead (same role as
+    build_ann_index's persisted buckets) and set cache_base=False.
+
+    family='md5' + hashed_bands=False is the oracle configuration: every
+    step (md5-derived signatures, comma-joined band keys, candidate
+    join, exact Jaccard) is replayable in DuckDB SQL."""
     rows = num_hashes // bands
     base = shingled(df, id_col, text_col, k).withColumn(
-        "__sig", minhash_signature(F.col("__sh"), num_hashes)
+        "__sig", minhash_signature("__sh", num_hashes, family)
     )
+    if cache_base:
+        base = base.persist()
     banded = base.select(
-        "__id", "__sh", F.explode(band_keys(F.col("__sig"), bands, rows)).alias("__bk")
+        "__id", F.explode(band_keys("__sig", bands, rows, hashed_bands)).alias("__bk")
     )
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
         left.join(right, on=[F.col("l.__bk") == F.col("r.__bk"), F.col("l.__id") < F.col("r.__id")])
-        .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
-            F.col("l.__sh").alias("sh_a"),
-            F.col("r.__sh").alias("sh_b"),
-        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_a = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    sh_b = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
     return (
-        cand.select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

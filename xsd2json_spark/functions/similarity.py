@@ -29,7 +29,6 @@ in tests), so a query touches O(probed lists), not the table.
 from __future__ import annotations
 
 import json
-import os
 from typing import Sequence
 
 import numpy as np
@@ -37,6 +36,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+
+from xsd2json_spark.sources import fsutil
 
 #: above this many (n_centroids x dim) literals the assignment switches
 #: from Column expressions to the Arrow pandas_udf path
@@ -183,10 +184,18 @@ def assign_centroid_arrow(vec_col: Column, cents: np.ndarray) -> Column:
     regardless of k and dim."""
     c = np.ascontiguousarray(cents, dtype=np.float64)
     c_norm2 = (c * c).sum(axis=1)
+    dim = c.shape[1]
 
     @pandas_udf("int")
     def _assign(v: pd.Series) -> pd.Series:
-        m = np.array(v.tolist(), dtype=np.float64)
+        vals = v.tolist()
+        bad = [i for i, x in enumerate(vals) if x is None or len(x) != dim]
+        if bad:
+            raise ValueError(
+                f"assign_centroid_arrow: {len(bad)} null/ragged embedding rows "
+                f"(expected dim {dim}); first bad batch index {bad[0]}"
+            )
+        m = np.array(vals, dtype=np.float64)
         scores = 2.0 * (m @ c.T) - c_norm2
         return pd.Series(scores.argmax(axis=1).astype(np.int32))
 
@@ -267,14 +276,14 @@ def build_ann_index(
     # repartition on the partition column: each task writes one bucket's
     # file instead of every task writing a sliver of every bucket
     out.repartition(part_col).write.mode("overwrite").partitionBy(part_col).parquet(path)
-    with open(os.path.join(path, META_FILE), "w") as fh:
-        json.dump(meta, fh)
+    # sidecar goes through the Hadoop FS API, not open(): the index path
+    # is s3a://-or-hdfs:// on the 100 TB deployment, same as the data
+    fsutil.write_text(df.sparkSession, path.rstrip("/") + "/" + META_FILE, json.dumps(meta))
     return meta
 
 
-def _load_meta(index_path: str) -> dict:
-    with open(os.path.join(index_path, META_FILE)) as fh:
-        return json.load(fh)
+def _load_meta(spark: SparkSession, index_path: str) -> dict:
+    return json.loads(fsutil.read_text(spark, index_path.rstrip("/") + "/" + META_FILE))
 
 
 def lsh_topk_indexed(
@@ -286,7 +295,7 @@ def lsh_topk_indexed(
 ) -> DataFrame:
     """Partition-pruned LSH probe: reads ONLY the probe buckets'
     partition directories (PartitionFilters, no full scan)."""
-    meta = _load_meta(index_path)
+    meta = _load_meta(spark, index_path)
     planes = np.asarray(meta["planes"], dtype=np.float64)
     probe = lsh_probe_set(query_vec, planes, multi_probe)
     df = spark.read.parquet(index_path)
@@ -310,7 +319,7 @@ def ivf_topk_indexed(
     """Partition-pruned IVF probe: nearest-nprobe lists chosen
     driver-side against the sidecar centroids; only those partition
     directories are read."""
-    meta = _load_meta(index_path)
+    meta = _load_meta(spark, index_path)
     cents = np.asarray(meta["centroids"], dtype=np.float64)
     qa = np.asarray(query_vec, dtype=np.float64)
     d2 = ((cents - qa) ** 2).sum(axis=1)

@@ -60,6 +60,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from xsd2json_spark.engine.validate import ValidationEngine
+from xsd2json_spark.sources import fsutil
 from xsd2json_spark.spec.constraints import Drift
 
 MANIFEST_SCHEMA = (
@@ -139,12 +140,25 @@ class ResumableRunner:
 
     def _ensure_staged(self, df: DataFrame) -> None:
         """ONE scan of the input: write it partitioned by lineage bucket.
-        Reused verbatim on resume (parquet _SUCCESS marker = the staging
-        job committed; a crash mid-write leaves no marker and re-stages)."""
+        Reused on resume ONLY for the same run_id: the parquet _SUCCESS
+        marker proves the staging job committed (a crash mid-write leaves
+        no marker and re-stages), and a ``_staging_meta.json`` stamp
+        binds the staged copy to its run_id — a NEW run_id against the
+        same audit_dir re-stages from the live input instead of silently
+        validating a stale copy of data from a previous run."""
         if self.staged_input_path:
             return
-        if os.path.exists(os.path.join(self._staging_path, "_SUCCESS")):
-            return
+        spark = self.engine.spark
+        import json
+
+        stamp_path = os.path.join(self._staging_path, "_staging_meta.json")
+        if fsutil.exists(spark, os.path.join(self._staging_path, "_SUCCESS")):
+            try:
+                stamp = json.loads(fsutil.read_text(spark, stamp_path))
+            except Exception:
+                stamp = {}
+            if stamp.get("run_id") == self.run_id:
+                return
         (
             df.withColumn("__bucket", self._bucket_expr())
             .repartition("__bucket")
@@ -152,6 +166,7 @@ class ResumableRunner:
             .partitionBy("__bucket")
             .parquet(self._staging_path)
         )
+        fsutil.write_text(spark, stamp_path, json.dumps({"run_id": self.run_id}))
 
     def _staged(self) -> DataFrame:
         return self.engine.spark.read.parquet(self._staging_path)
@@ -199,8 +214,16 @@ class ResumableRunner:
             # once, derive the manifest metrics from them — no count()
             # jobs over the bucket data.
             verd_rows = res.verdicts.collect()
-            evaluated = [r["evaluated_count"] for r in verd_rows if r["evaluated_count"] is not None]
-            n_rows = max(evaluated) if evaluated else part.count()
+            # with spec.partition_by, evaluated_count is per partition_key,
+            # so the bucket's row count is the SUM over partition keys per
+            # constraint (max over constraints, not max over rows)
+            per_constraint: dict = {}
+            for r in verd_rows:
+                if r["evaluated_count"] is not None:
+                    per_constraint[r["constraint_id"]] = (
+                        per_constraint.get(r["constraint_id"], 0) + r["evaluated_count"]
+                    )
+            n_rows = max(per_constraint.values()) if per_constraint else part.count()
             n_viol = sum(r["violation_count"] or 0 for r in verd_rows)
             verd_tuples = [
                 (r["partition_key"], r["constraint_id"], r["violation_count"],
