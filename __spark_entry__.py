@@ -248,10 +248,33 @@ def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """No oracle (MinHash banding). Restricted to the first 300 docs to
-    bound the candidate join in the correctness run."""
+    """ORACLE-checked MinHash LSH near-dup pairs: md5 hash family +
+    comma-joined band keys, so DuckDB replays the ENTIRE pipeline —
+    shingles -> Kirsch-Mitzenmacher signatures -> bands -> candidate
+    join -> exact-Jaccard verify (see _minhash_oracle). Restricted to
+    the first 300 docs to bound the candidate join in the correctness
+    run. The production xxhash64 kernel is q_doc_minhash_dups_xx."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 300) & F.col("text").isNotNull()
+    )
+    return D.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.5, family="md5", hashed_bands=False
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+def q_doc_minhash_dups_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No oracle (xxhash64 signatures + hashed band keys — the
+    production path; planted-dup recall golden in test_dedup)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    return D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
 
 
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -400,17 +423,43 @@ def q_emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CENTROIDS = 16
+IVF_ITERS = 2
+IVF_NPROBE = 3
+
+
+def _ivf_centroids(sf_dir: str):
+    """Deterministic IVF quantizer: the embeddings are read vec_id-sorted
+    through pyarrow (no Spark partition-order dependence), so
+    kmeans_numpy(seed=42) is bit-reproducible — the same centroid
+    doubles feed the Spark index build AND embed as DuckDB literals in
+    _ivf_oracle (the _lsh_oracle hyperplane trick, applied to IVF)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).to_pandas().sort_values("vec_id")
+    mat = np.array(tbl["embedding"].tolist(), dtype=np.float64)
+    return S.kmeans_numpy(mat, n_centroids=IVF_CENTROIDS, iters=IVF_ITERS, seed=42)
+
+
 def _ann_index_path(spark: SparkSession, sf_dir: str, kind: str) -> str:
     """Build-once/reuse ANN index for sf_dir (the persisted-bucket scale
-    path: build = one pass, every probe after = partition-pruned read)."""
+    path: build = one pass, every probe after = partition-pruned read).
+    v3: IVF centroids come from the deterministic numpy quantizer."""
     tag = sf_dir.strip("/").replace("/", "_")
-    path = f"/tmp/ann_cache/{kind}_{tag}"
+    path = f"/tmp/ann_cache/v3_{kind}_{tag}"
     if not (
         os.path.exists(os.path.join(path, "_SUCCESS"))
         and os.path.exists(os.path.join(path, "_ann_meta.json"))
     ):
         emb = _t(spark, sf_dir, "embeddings")
-        S.build_ann_index(emb, path, kind=kind, n_planes=8, seed=42, n_centroids=16, iters=2)
+        cents = _ivf_centroids(sf_dir) if kind == "ivf" else None
+        S.build_ann_index(
+            emb, path, kind=kind, n_planes=8, seed=42,
+            n_centroids=IVF_CENTROIDS, iters=IVF_ITERS, centroids=cents,
+        )
     return path
 
 
@@ -427,13 +476,16 @@ def q_emb_knn_lsh_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """No oracle (IVF k-means lists). Partition-pruned probe of the
-    persisted inverted-file index; centroid assignment auto-dispatches
-    to an Arrow pandas_udf when k x dim is large."""
+    """ORACLE-checked (new this round): the IVF centroids are
+    deterministic numpy k-means over a vec_id-sorted read, so DuckDB
+    replays centroid assignment + nprobe selection + cosine top-k with
+    the centroids as literals (see _ivf_oracle). Partition-pruned probe
+    of the persisted inverted-file index; centroid assignment
+    auto-dispatches to an Arrow pandas_udf when k x dim is large."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     idx = _ann_index_path(spark, sf_dir, "ivf")
-    return S.ivf_topk_indexed(spark, idx, qvec, k=10, nprobe=3).select(
+    return S.ivf_topk_indexed(spark, idx, qvec, k=10, nprobe=IVF_NPROBE).select(
         F.col("vec_id").cast("long").alias("vec_id"), F.round("score", 4).alias("score")
     )
 
@@ -480,6 +532,56 @@ def q_cv_drift_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     for key, _stat, p in chi2_drift_by(shifted, c, base):
         rows.append(("shift_en", key, bool(p >= 0.01)))
     return spark.createDataFrame(rows, schema="scenario string, lang string, passed boolean")
+
+
+def q_cv_cube_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked (new this round; SURVEY §2.4's drill-down shape):
+    engine-style column stats over cube(lang, source) — every rollup
+    level in ONE pass (Spark expands the cube in the partial aggregate;
+    DuckDB replays with GROUP BY CUBE + GROUPING id)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("text").isNull().cast("long")).alias("null_texts"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            "lang",
+            "source",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("null_texts").cast("long").alias("null_texts"),
+            "avg_chars",
+            F.col("gid").cast("long").alias("gid"),
+        )
+    )
+
+
+def q_cv_drift_chi2_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked (new this round): the chi-square STATISTIC fully
+    in-plan via chi2_statistic_df — observed counts, expected counts,
+    and the Pearson sum all distributed, replayed exactly by DuckDB.
+    Two scenarios: self (statistic ~ 0) and an en->fr shift (large).
+    p-value conversion stays driver-side (chi2_sf, scipy-pinned) — see
+    q_cv_drift_chi2 for the verdict path."""
+    from xsd2json_spark.engine.drift import chi2_statistic_df
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    base = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    cur = docs.select(F.lit("self").alias("scenario"), "lang").unionAll(
+        docs.select(
+            F.lit("shift_en_fr").alias("scenario"),
+            F.when(F.col("lang") == "en", F.lit("fr")).otherwise(F.col("lang")).alias("lang"),
+        )
+    )
+    out = chi2_statistic_df(cur, "lang", base, by=["scenario"])
+    return out.select(
+        "scenario",
+        F.round("statistic", 6).alias("statistic"),
+        F.col("dof").cast("long").alias("dof"),
+    )
 
 
 def q_cv_resume_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -555,13 +657,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_revenue": q_brand_revenue,
         "cv_composite_violations": q_cv_composite_violations,
         "doc_minhash_dups": q_doc_minhash_dups,
+        "doc_minhash_dups_xx": q_doc_minhash_dups_xx,
         "doc_simhash": q_doc_simhash,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_knn_brute": q_emb_knn_brute,
         "emb_knn_lsh": q_emb_knn_lsh,
         "emb_knn_lsh_pruned": q_emb_knn_lsh_pruned,
         "emb_knn_ivf": q_emb_knn_ivf,
+        "cv_cube_drilldown": q_cv_cube_drilldown,
         "cv_drift_chi2": q_cv_drift_chi2,
+        "cv_drift_chi2_stat": q_cv_drift_chi2_stat,
         "cv_drift_by_lang": q_cv_drift_by_lang,
         "cv_resume_lineage": q_cv_resume_lineage,
         "media_image_features": q_media_image_features,
@@ -602,6 +707,113 @@ def _lsh_oracle() -> str:
     """
 
 
+def _ivf_oracle() -> str:
+    """DuckDB replay of the IVF probe: the deterministic kmeans_numpy
+    centroids embed as literal DOUBLE[] rows (exactly the _lsh_oracle
+    hyperplane trick); assignment is argmax_j (2 v.c_j - |c_j|^2) with
+    the same (score, j) struct-max tie-break as Spark's array_max, the
+    nprobe nearest lists are chosen driver-side here like
+    ivf_topk_indexed does, and candidates get cosine top-k. sf0.01 is
+    the driver's correctness scale (the oracle is only run there)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.01"
+    cents = _ivf_centroids(sf)
+    tbl = pq.read_table(
+        os.path.join(sf, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).to_pandas()
+    q = np.array(tbl.loc[tbl.vec_id == 0, "embedding"].iloc[0], dtype=np.float64)
+    d2 = ((cents - q) ** 2).sum(axis=1)
+    probes = ", ".join(str(int(j)) for j in sorted(np.argsort(d2)[:IVF_NPROBE]))
+    vals = ", ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[], {repr(float(np.dot(c, c)))})"
+        for j, c in enumerate(cents)
+    )
+    return f"""
+        WITH cents(j, c, n2) AS (VALUES {vals}),
+        a AS (
+            SELECT e.vec_id, e.embedding,
+                   (max(struct_pack(
+                        s := 2.0 * list_dot_product(e.embedding::DOUBLE[], cen.c) - cen.n2,
+                        j := cen.j))).j AS list_id
+            FROM embeddings e CROSS JOIN cents cen
+            GROUP BY e.vec_id, e.embedding
+        ),
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        cand AS (
+            SELECT vec_id, round(list_cosine_similarity(a.embedding, q.qe), 6) AS s6
+            FROM a, q WHERE list_id IN ({probes})
+        )
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, round(s6, 4) AS score
+        FROM cand ORDER BY s6 DESC, vec_id LIMIT 10
+    """
+
+
+def _minhash_oracle() -> str:
+    """DuckDB replay of the md5-family MinHash LSH pipeline (mirrors
+    functions/dedup.py minhash_signature_sql + band_keys + the verify
+    joins): u1/u2 come from md5 hex digits (the one hash both engines
+    share — hexval via strpos, like the simhash32 oracle), signatures
+    are min_j over shingles of (u1 + j*u2) & 0xffffffff, band keys are
+    the comma-joined slot strings, candidates share any band key, and
+    survivors are exact-Jaccard-verified on the distinct shingle sets."""
+    k, num_hashes, rows, thr = 5, 64, 4, 0.5
+
+    def hex8(start: int) -> str:
+        return " + ".join(
+            f"(strpos('0123456789abcdef', substr(h, {start + p}, 1)) - 1) * {1 << (4 * (7 - p))}"
+            for p in range(8)
+        )
+
+    return rf"""
+        WITH docs AS (
+            SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+            FROM documents WHERE doc_id < 300 AND text IS NOT NULL
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, substr(t, i, {k}) AS s
+            FROM docs, LATERAL (SELECT unnest(range(1, length(t) - {k - 2})) AS i)
+            WHERE length(t) >= {k}
+            UNION
+            SELECT doc_id, t FROM docs WHERE length(t) < {k}
+        ),
+        uu AS (
+            SELECT doc_id, s, {hex8(1)} AS u1, ({hex8(9)}) | 1 AS u2
+            FROM (SELECT doc_id, s, md5(s) AS h FROM sh)
+        ),
+        sig AS (
+            SELECT doc_id, j.j AS j, min((u1 + j.j * u2) & 4294967295) AS mh
+            FROM uu, (SELECT unnest(range(0, {num_hashes})) AS j) j
+            GROUP BY doc_id, j.j
+        ),
+        band AS (
+            SELECT doc_id, j // {rows} AS band,
+                   string_agg(mh::VARCHAR, ',' ORDER BY j) AS bkey
+            FROM sig GROUP BY doc_id, j // {rows}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+            FROM band a JOIN band b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        ),
+        common AS (
+            SELECT c.ia, c.ib, count(*) AS cnt
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.ia
+            JOIN sh y ON y.doc_id = c.ib AND y.s = x.s
+            GROUP BY c.ia, c.ib
+        ),
+        sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)
+        SELECT CAST(c.ia AS BIGINT) AS id_a, CAST(c.ib AS BIGINT) AS id_b,
+               round(cnt * 1.0 / (sa.sz + sb.sz - cnt), 6) AS jaccard
+        FROM common c
+        JOIN sz sa ON sa.doc_id = c.ia
+        JOIN sz sb ON sb.doc_id = c.ib
+        WHERE round(cnt * 1.0 / (sa.sz + sb.sz - cnt), 6) >= {thr}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     lang_list = "('en','fr','de','es')"
     resume_checks = f"""
@@ -623,6 +835,8 @@ def oracle_sql() -> dict[str, str]:
         """
     return {
         "cv_resume_lineage": resume_checks,
+        "doc_minhash_dups": _minhash_oracle(),
+        "emb_knn_ivf": _ivf_oracle(),
         "emb_knn_lsh": _lsh_oracle(),
         "emb_knn_lsh_pruned": _lsh_oracle(),
         "cv_verdicts": f"""
@@ -781,6 +995,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = ia
             JOIN sz sb ON sb.doc_id = ib
             WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 6) >= {NGRAM_THRESHOLD}
+        """,
+        "cv_cube_drilldown": """
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) FILTER (WHERE text IS NULL) AS BIGINT) AS null_texts,
+                   round(avg(n_chars), 4) AS avg_chars,
+                   CAST(GROUPING(lang, source) AS BIGINT) AS gid
+            FROM documents GROUP BY CUBE(lang, source)
+        """,
+        "cv_drift_chi2_stat": """
+            WITH base AS (
+                SELECT lang AS cat, count(*) AS b FROM documents
+                WHERE lang IS NOT NULL GROUP BY lang
+            ),
+            cur AS (
+                SELECT 'self' AS scenario, lang FROM documents WHERE lang IS NOT NULL
+                UNION ALL
+                SELECT 'shift_en_fr', CASE WHEN lang = 'en' THEN 'fr' ELSE lang END
+                FROM documents WHERE lang IS NOT NULL
+            ),
+            obs AS (SELECT scenario, lang AS cat, count(*) AS o FROM cur GROUP BY 1, 2),
+            n AS (SELECT scenario, sum(o) AS n FROM obs GROUP BY 1),
+            bt AS (SELECT sum(b) AS bt FROM base),
+            spine AS (
+                SELECT n.scenario, n.n, base.cat, base.b, bt.bt
+                FROM n CROSS JOIN base CROSS JOIN bt
+            ),
+            j AS (
+                SELECT s.*, coalesce(o.o, 0) AS o
+                FROM spine s LEFT JOIN obs o ON o.scenario = s.scenario AND o.cat = s.cat
+            )
+            SELECT scenario,
+                   round(sum(pow(o - n * b * 1.0 / bt, 2) / (n * b * 1.0 / bt)), 6) AS statistic,
+                   CAST(count(*) - 1 AS BIGINT) AS dof
+            FROM j GROUP BY scenario
         """,
         "doc_simhash": r"""
             WITH toks AS (

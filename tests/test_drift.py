@@ -226,3 +226,46 @@ def test_group_key_escaping_distinguishes_collisions():
     assert group_key([None]) != group_key(["None"])
     assert group_key(["a\\|b"]) != group_key(["a|b"])
     assert group_key(["g1"]) == "g1"  # plain single keys stay natural
+
+
+def test_chi2_statistic_df_matches_driver_side(spark, files):
+    """The fully in-plan statistic equals the driver-side chi2_stat
+    kernel on the same observed/baseline counts."""
+    from xsd2json_spark.engine.drift import chi2_statistic_df, make_categorical_baseline
+    from xsd2json_spark.engine.stats_math import chi2_stat
+
+    base_counts = make_categorical_baseline(files, "lang")["counts"]
+    base_df = files.sparkSession.createDataFrame(
+        [(k, v) for k, v in base_counts.items()], "lang string, n long"
+    )
+    shifted = files.withColumn(
+        "lang", F.when(F.col("lang") == "python", F.lit("java")).otherwise(F.col("lang"))
+    )
+    row = chi2_statistic_df(shifted, "lang", base_df).collect()[0]
+    total = sum(base_counts.values())
+    probs = {k: v / total for k, v in base_counts.items()}
+    observed = {
+        r["lang"]: r["n"]
+        for r in shifted.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        if r["lang"] is not None and r["n"] > 0
+    }
+    stat, dof = chi2_stat(observed, probs)
+    assert math.isclose(row["statistic"], stat, rel_tol=1e-9)
+    assert row["dof"] == dof
+
+
+def test_chi2_statistic_df_by_group(spark, grouped):
+    """One distributed statistic row per group; self-baseline is ~0,
+    a per-group shift moves only that group's statistic."""
+    from xsd2json_spark.engine.drift import chi2_statistic_df
+
+    base_df = grouped.groupBy("cat").agg(F.count(F.lit(1)).alias("n"))
+    rows = {r["g"]: r for r in chi2_statistic_df(grouped, "cat", base_df, by=["g"]).collect()}
+    assert set(rows) == {"g1", "g2"}
+    assert all(r["statistic"] < 1.0 for r in rows.values())
+
+    shifted = grouped.withColumn(
+        "cat", F.when((F.col("g") == "g2") & (F.col("cat") == "x"), "y").otherwise(F.col("cat"))
+    )
+    srows = {r["g"]: r for r in chi2_statistic_df(shifted, "cat", base_df, by=["g"]).collect()}
+    assert srows["g1"]["statistic"] < 1.0 and srows["g2"]["statistic"] > 100.0

@@ -113,6 +113,50 @@ def ks_drift(df: DataFrame, c: Drift, baseline: dict) -> "tuple[float, float]":
     return d, ks_pvalue(d, n_base, n_cur)
 
 
+def chi2_statistic_df(
+    df: DataFrame, column: str, baseline_df: DataFrame, by=None
+) -> DataFrame:
+    """Distributed Pearson chi-square STATISTIC: observed counts,
+    expected counts, and the statistic are all computed IN-PLAN (one
+    groupBy + a broadcast join against the baseline counts — no
+    driver-side math), which makes the statistic itself oracle-able in
+    plain SQL and scales per-group chi2 to any number of groups.
+
+    ``baseline_df`` carries the reference distribution as
+    (``column``, n) count rows; ``by`` optionally groups the current
+    data (one statistic row per group). NULL categories are excluded on
+    both sides. Observed categories MUST be a subset of the baseline's
+    (pre-bucket novel categories into an OTHER label for open
+    vocabularies — a spine-missing category would silently drop its
+    term). Returns (by..., statistic, n_cats, dof); converting to a
+    p-value stays driver-side via chi2_sf, which is scipy-pinned in
+    tests."""
+    gb = list(by or [])
+    obs = (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(*gb, F.col(column).alias("__cat"))
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    b = baseline_df.select(F.col(column).alias("__cat"), F.col("n").alias("__b")).filter(
+        F.col("__cat").isNotNull()
+    )
+    bt = b.agg(F.sum("__b").alias("__bt"))
+    n = obs.groupBy(*gb).agg(F.sum("__o").alias("__n"))
+    spine = n.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(bt))
+    j = spine.join(obs, gb + ["__cat"], "left").withColumn(
+        "__o", F.coalesce(F.col("__o"), F.lit(0))
+    )
+    e = F.col("__n") * F.col("__b") / F.col("__bt")
+    return (
+        j.groupBy(*gb)
+        .agg(
+            F.sum((F.col("__o") - e) ** 2 / e).alias("statistic"),
+            F.count(F.lit(1)).alias("n_cats"),
+        )
+        .withColumn("dof", (F.col("n_cats") - 1).cast("long"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # per-group drift (SURVEY §4.3: chi2/KS per (lang, ...) group vs a
 # per-group baseline)

@@ -166,6 +166,31 @@ def kmeans_centroids(
     return cents
 
 
+def kmeans_numpy(
+    mat: np.ndarray, n_centroids: int = 16, iters: int = 3, seed: int = 42
+) -> np.ndarray:
+    """Deterministic Lloyd iterations on a driver-side matrix. This is
+    the ORACLE-able quantizer path: centroids derived outside Spark from
+    a vec_id-sorted read are bit-reproducible, so they embed as literals
+    in BOTH the Spark index build and the DuckDB replay (same trick as
+    the LSH hyperplanes). At warehouse scale you run this on a bounded
+    SAMPLE of the table (k-means centroids only need a representative
+    subset), then assign the full table with assign_centroid."""
+    rng = np.random.RandomState(seed)
+    pool = np.asarray(mat[: n_centroids * 4], dtype=np.float64)
+    idx = rng.choice(len(pool), size=n_centroids, replace=False)
+    cents = pool[idx].copy()
+    m = np.asarray(mat, dtype=np.float64)
+    for _ in range(iters):
+        scores = 2.0 * (m @ cents.T) - (cents * cents).sum(axis=1)
+        assign = scores.argmax(axis=1)
+        for j in range(n_centroids):
+            members = assign == j
+            if members.any():
+                cents[j] = m[members].mean(axis=0)
+    return cents
+
+
 def assign_centroid_exprs(vec_col: Column, cents: np.ndarray) -> Column:
     """argmin_j ||v - c_j||^2 == argmax_j (2 v.c_j - ||c_j||^2), as pure
     Column expressions. O(n_centroids x dim) literal nodes — fine for
@@ -252,13 +277,16 @@ def build_ann_index(
     seed: int = 42,
     n_centroids: int = 16,
     iters: int = 3,
+    centroids: "np.ndarray | None" = None,
 ) -> dict:
     """Write the embedding table partitioned by its ANN bucket —
     ``bucket`` (LSH sign bits) or ``list_id`` (IVF nearest centroid) —
     with the hyperplanes/centroids in a ``_ann_meta.json`` sidecar.
     Build cost is ONE pass over the table (assign + repartition on the
     partition column + write); every subsequent query is a
-    partition-pruned read of just its probe set."""
+    partition-pruned read of just its probe set. Pass precomputed
+    ``centroids`` (e.g. kmeans_numpy over a deterministic sample) to
+    skip the in-Spark Lloyd iterations — the oracle-able configuration."""
     dim = len(df.select(vec_col).first()[0])
     meta: dict = {"kind": kind, "id_col": id_col, "vec_col": vec_col, "dim": dim}
     if kind == "lsh":
@@ -267,7 +295,10 @@ def build_ann_index(
         out = df.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
         part_col = "bucket"
     elif kind == "ivf":
-        cents = kmeans_centroids(df, vec_col=vec_col, n_centroids=n_centroids, iters=iters, seed=seed)
+        if centroids is not None:
+            cents = np.asarray(centroids, dtype=np.float64)
+        else:
+            cents = kmeans_centroids(df, vec_col=vec_col, n_centroids=n_centroids, iters=iters, seed=seed)
         meta["centroids"] = cents.tolist()
         out = df.withColumn("list_id", assign_centroid(F.col(vec_col), cents))
         part_col = "list_id"
