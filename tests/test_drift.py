@@ -269,3 +269,17 @@ def test_chi2_statistic_df_by_group(spark, grouped):
     )
     srows = {r["g"]: r for r in chi2_statistic_df(shifted, "cat", base_df, by=["g"]).collect()}
     assert srows["g1"]["statistic"] < 1.0 and srows["g2"]["statistic"] > 100.0
+
+
+def test_chi2_crit_published_values():
+    from xsd2json_spark.engine.stats_math import chi2_crit, chi2_sf
+
+    for dof, alpha, crit in [
+        (1, 0.05, 3.841458820694124),
+        (2, 0.05, 5.991464547107979),
+        (10, 0.05, 18.307038053275146),
+        (1, 0.01, 6.6348966010212145),
+    ]:
+        got = chi2_crit(dof, alpha)
+        assert math.isclose(got, crit, rel_tol=1e-6)
+        assert math.isclose(chi2_sf(got, dof), alpha, rel_tol=1e-6)

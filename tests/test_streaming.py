@@ -89,3 +89,70 @@ def test_stream_fk_violations(spark, staged):
     )
     assert out.count() == batch_n
     assert out.count() > 0
+
+
+def test_stream_drift_per_group(spark, tmp_path):
+    """Streaming per-group drift: stateful watermarked category counts
+    -> stateless chi-square verdict view. Only the (shifted window,
+    shifted group) cell fails; statistics equal the batch in-plan
+    chi2_statistic_df on the same slice."""
+    import math
+
+    from xsd2json_spark.engine.drift import (
+        chi2_statistic_df,
+        drift_verdicts_over_counts,
+        make_categorical_baseline_df,
+    )
+    from xsd2json_spark.spec.constraints import Drift
+    from xsd2json_spark.streaming.validate_stream import stream_category_counts
+
+    t0 = 1_700_000_000
+    base = spark.range(8000).select(
+        (F.col("id") % 2).alias("w"),
+        F.when((F.col("id") / 2).cast("long") % 2 == 0, "g1").otherwise("g2").alias("g"),
+        F.when(F.col("id") % 5 < 3, "x").otherwise("y").alias("cat"),
+        F.timestamp_seconds(F.lit(t0) + (F.col("id") % 2) * 600 + F.col("id") % 100).alias("ts"),
+    )
+    # shift ONLY (window 1, g2): swap x -> y
+    data = base.withColumn(
+        "cat",
+        F.when((F.col("w") == 1) & (F.col("g") == "g2") & (F.col("cat") == "x"), "y").otherwise(
+            F.col("cat")
+        ),
+    ).drop("w")
+    src = str(tmp_path / "drift_src")
+    data.write.parquet(src)
+
+    baseline = make_categorical_baseline_df(base.drop("w"), "cat", group_by=["g"])
+    c = Drift(id="d", column="cat", test="chi2", baseline="b", alpha=0.01, group_by=["g"])
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    counts = stream_category_counts(stream, c, time_col="ts", window="5 minutes", watermark="10 minutes")
+    q = (
+        counts.writeStream.format("memory").queryName("drift_counts")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    counter_table = spark.table("drift_counts")
+
+    verd = drift_verdicts_over_counts(
+        counter_table, "cat", baseline, group_by=["g"], alpha=0.01
+    ).withColumn("ws", F.unix_timestamp(F.col("window.start")))
+    rows = {(r["ws"] >= t0 + 300, r["g"]): r for r in verd.collect()}
+    # 2 windows x 2 groups; window key True = the shifted (later) window
+    assert len(rows) == 4
+    assert rows[(False, "g1")]["passed"] and rows[(False, "g2")]["passed"]
+    assert rows[(True, "g1")]["passed"] and not rows[(True, "g2")]["passed"]
+
+    # batch equivalence: same statistic from chi2_statistic_df per slice
+    later = data.filter(F.unix_timestamp("ts") >= t0 + 600)
+    bstat = {
+        r["g"]: r["statistic"]
+        for r in chi2_statistic_df(
+            later, "cat", baseline.groupBy("cat").agg(F.sum("n").alias("n")), by=["g"]
+        ).collect()
+    }
+    # per-group baseline differs from global here only if g1/g2 mixes differ;
+    # they are identical by construction, so compare directly
+    for g in ("g1", "g2"):
+        assert math.isclose(rows[(True, g)]["statistic"], bstat[g], rel_tol=1e-9)

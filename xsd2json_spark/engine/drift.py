@@ -157,6 +157,88 @@ def chi2_statistic_df(
     )
 
 
+def make_categorical_baseline_df(df: DataFrame, column: str, group_by=()) -> DataFrame:
+    """Baseline counts as a DATAFRAME (no driver collect): one row per
+    (group..., category). The distributed sibling of
+    make_categorical_baseline(_by) — feed it to chi2_statistic_df /
+    drift_verdicts_over_counts, or persist it as the baseline-snapshot
+    table a production deployment would keep in the warehouse."""
+    gb = list(group_by)
+    return (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(*gb, column)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def drift_verdicts_over_counts(
+    counts_df: DataFrame,
+    column: str,
+    baseline_df: DataFrame,
+    group_by=(),
+    window_cols=("window",),
+    alpha: float = 0.01,
+    max_dof: int = 128,
+) -> DataFrame:
+    """Per-(window, group) chi-square drift verdicts as a STATELESS view
+    over a category-counter table — the streaming-drift shape: the
+    stateful part is just the watermarked counts aggregation
+    (streaming.stream_category_counts); this view joins those counters
+    against the baseline counts and evaluates pass/fail entirely
+    in-plan (statistic <= chi2_crit(dof, alpha), critical values
+    broadcast as a tiny dof-indexed table — no per-row Python, no
+    driver-side stats).
+
+    counts_df: (window_cols..., group_by..., column, n) — a micro-batch
+    sink, a materialized counter table, or any batch equivalent.
+    Observed categories must be a subset of the baseline's per group
+    (same contract as chi2_statistic_df).
+    Returns (window_cols..., group_by..., statistic, dof, passed)."""
+    from xsd2json_spark.engine.stats_math import chi2_crit
+
+    gb = list(group_by)
+    wc = list(window_cols)
+    spark = counts_df.sparkSession
+    b = baseline_df.select(*gb, F.col(column).alias("__cat"), F.col("n").alias("__b")).filter(
+        F.col("__cat").isNotNull()
+    )
+    bt = b.groupBy(*gb).agg(F.sum("__b").alias("__bt")) if gb else b.agg(F.sum("__b").alias("__bt"))
+    bb = b.join(bt, gb) if gb else b.crossJoin(bt)
+    # ONE reference to the counter table: fold each (window, group)'s
+    # category counts into a map, then expand along the broadcast
+    # baseline spine (unobserved baseline categories read 0 from the
+    # map). A join-back onto the counts would be a streaming-sink
+    # self-join (conflicting attributes) and a second shuffle.
+    per = (
+        counts_df.select(*wc, *gb, F.col(column).alias("__cat"), F.col("n").alias("__o"))
+        .groupBy(*wc, *gb)
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("__cat", "__o"))).alias("__m"),
+            F.sum("__o").alias("__n"),
+        )
+    )
+    j = per.join(F.broadcast(bb), gb) if gb else per.crossJoin(F.broadcast(bb))
+    o = F.coalesce(F.col("__m")[F.col("__cat")], F.lit(0))
+    e = F.col("__n") * F.col("__b") / F.col("__bt")
+    agg = (
+        j.groupBy(*wc, *gb)
+        .agg(
+            F.sum((o - e) ** 2 / e).alias("statistic"),
+            F.count(F.lit(1)).alias("n_cats"),
+        )
+        .withColumn("dof", F.greatest(F.col("n_cats") - 1, F.lit(1)).cast("int"))
+        .drop("n_cats")
+    )
+    crit = spark.createDataFrame(
+        [(d, chi2_crit(d, alpha)) for d in range(1, max_dof + 1)], "dof int, __crit double"
+    )
+    return (
+        agg.join(F.broadcast(crit), "dof")
+        .withColumn("passed", F.col("statistic") <= F.col("__crit"))
+        .select(*wc, *gb, "statistic", "dof", "passed")
+    )
+
+
 # ---------------------------------------------------------------------------
 # per-group drift (SURVEY §4.3: chi2/KS per (lang, ...) group vs a
 # per-group baseline)

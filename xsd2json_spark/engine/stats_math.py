@@ -97,6 +97,27 @@ def chi2_stat(observed: dict, expected_probs: dict) -> "tuple[float, int]":
     return stat, max(1, len(cats) - 1)
 
 
+def chi2_crit(dof: int, alpha: float) -> float:
+    """Critical value c with P[Chi2(dof) >= c] = alpha, by bisection on
+    chi2_sf. Lets pass/fail be evaluated IN-PLAN as statistic <= crit
+    (an expression), keeping p-value math off the row path."""
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("chi2_crit: alpha must be in (0, 1)")
+    hi = 1.0
+    while chi2_sf(hi, dof) > alpha:
+        hi *= 2.0
+        if hi > 1e12:
+            break
+    lo = 0.0
+    for _ in range(200):
+        mid = (lo + hi) / 2.0
+        if chi2_sf(mid, dof) > alpha:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0
+
+
 def ks_pvalue(d: float, n1: float, n2: float) -> float:
     """Asymptotic two-sample KS p-value for statistic d with sample
     sizes n1, n2 (Smirnov)."""

@@ -59,6 +59,35 @@ def stream_windowed_verdicts(
     )
 
 
+def stream_category_counts(
+    stream_df: DataFrame,
+    c,
+    time_col: str,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked per-(window, group, category) counts for a Drift
+    constraint — the ONLY stateful piece of streaming drift. Sink these
+    counters (memory table for tests, Delta/Iceberg in production) and
+    derive chi-square verdicts statelessly with
+    engine.drift.drift_verdicts_over_counts: chained streaming
+    aggregations would need multi-stateful-operator support, while a
+    counter table + stateless verdict view restarts cleanly and keeps
+    the drift math replayable over history."""
+    gb = list(c.group_by or [])
+    value = F.expr(c.expr) if c.expr else F.col(c.column)
+    return (
+        stream_df.withWatermark(time_col, watermark)
+        .filter(value.isNotNull())
+        .groupBy(
+            F.window(F.col(time_col), window).alias("window"),
+            *gb,
+            value.alias(c.column),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def stream_fk_violations(stream_df: DataFrame, c: ForeignKey, dim_df: DataFrame) -> DataFrame:
     """Stream-static anti-join: dangling references in flight."""
     ref = dim_df.select(*[F.col(rc).alias(f"__ref_{i}") for i, rc in enumerate(c.ref_columns)]).dropDuplicates()
