@@ -247,6 +247,20 @@ def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked (new this round): character-trigram language ID
+    against the 8-language default profiles — log-likelihood weights,
+    one interpreted traversal per doc, argmax with (score, lang)
+    struct-max tie-break. DuckDB replays the profile as a literal
+    (gram, lang, weight) table (see _langid_ngram_oracle); accuracy is
+    pinned separately by the 128-doc held-out corpus test."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        T.detect_lang_ngram("text").alias("lang_detected"),
+    )
+
+
 def q_doc_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-checked MinHash LSH near-dup pairs: md5 hash family +
     comma-joined band keys, so DuckDB replays the ENTIRE pipeline —
@@ -650,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_exact_dups": q_doc_exact_dups,
         "doc_langid": q_doc_langid,
+        "doc_langid_ngram": q_doc_langid_ngram,
         "doc_quality": q_doc_quality,
         "doc_stopword_ratio": q_doc_stopword_ratio,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
@@ -750,6 +765,48 @@ def _ivf_oracle() -> str:
     """
 
 
+def _langid_ngram_oracle() -> str:
+    """DuckDB replay of the trigram language ID: the default profiles'
+    nonzero log-likelihood weights embed as a literal (gram, lang, w)
+    table; doc trigrams (same ' '-padded normalization) join it, scores
+    sum per (doc, lang), and the argmax uses the same (score, lang)
+    struct-max tie-break as Spark's array_max. Docs with no profile hit
+    fall out of the join and come back 'unknown' via the left join."""
+    import math
+
+    from xsd2json_spark.functions.text import LANGID_EPS, default_lang_profiles
+
+    profiles = default_lang_profiles()
+    rows = []
+    for lg in sorted(profiles):
+        for g, w in sorted(profiles[lg].items()):
+            lw = math.log(w / LANGID_EPS) if w > LANGID_EPS else 0.0
+            if lw > 0:
+                rows.append(f"('{g.replace(chr(39), chr(39) * 2)}', '{lg}', {lw!r}::DOUBLE)")
+    vals = ", ".join(rows)
+    return rf"""
+        WITH prof(gram, lang, w) AS (VALUES {vals}),
+        docs AS (
+            SELECT doc_id, ' ' || regexp_replace(lower(trim(text)), '\s+', ' ', 'g') || ' ' AS nm
+            FROM documents WHERE text IS NOT NULL
+        ),
+        grams AS (
+            SELECT doc_id, substr(nm, i, 3) AS g
+            FROM docs, LATERAL (SELECT unnest(range(1, length(nm) - 1)) AS i)
+            WHERE length(nm) >= 3
+        ),
+        sc AS (
+            SELECT g.doc_id, p.lang, sum(p.w) AS s
+            FROM grams g JOIN prof p ON p.gram = g.g
+            GROUP BY 1, 2
+        ),
+        best AS (SELECT doc_id, max(struct_pack(s := s, l := lang)) AS b FROM sc GROUP BY 1)
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               CASE WHEN best.b.s > 0 THEN best.b.l ELSE 'unknown' END AS lang_detected
+        FROM docs d LEFT JOIN best ON best.doc_id = d.doc_id
+    """
+
+
 def _minhash_oracle() -> str:
     """DuckDB replay of the md5-family MinHash LSH pipeline (mirrors
     functions/dedup.py minhash_signature_sql + band_keys + the verify
@@ -835,6 +892,7 @@ def oracle_sql() -> dict[str, str]:
         """
     return {
         "cv_resume_lineage": resume_checks,
+        "doc_langid_ngram": _langid_ngram_oracle(),
         "doc_minhash_dups": _minhash_oracle(),
         "emb_knn_ivf": _ivf_oracle(),
         "emb_knn_lsh": _lsh_oracle(),

@@ -97,3 +97,68 @@ def test_with_text_features_schema(spark):
     cols = set(out.columns)
     assert {"n_tokens", "n_bpe_tokens", "alpha_ratio", "quality", "lang_detected", "fingerprint"} <= cols
     out.collect()
+
+
+# ---------------------------------------------------------------------------
+# character-n-gram language ID
+# ---------------------------------------------------------------------------
+
+
+def _held_out_docs():
+    """120+ labeled docs across 8 languages from ODD-indexed (unseen)
+    seed sentences: singles, pairs, and triples."""
+    from xsd2json_spark.functions.langid_data import CORPUS
+
+    docs = []
+    for lang, sents in CORPUS.items():
+        held = sents[1::2]  # profiles are built from sents[0::2]
+        for s in held:
+            docs.append((lang, s))
+        for i in range(len(held) - 1):
+            docs.append((lang, held[i] + " " + held[i + 1]))
+        for i in range(len(held) - 2):
+            docs.append((lang, held[i] + " " + held[i + 2]))
+        docs.append((lang, " ".join(held[:3])))
+    return docs
+
+
+def test_langid_ngram_heldout_accuracy(spark):
+    """Accuracy floor >= 0.9 on 100+ held-out docs over 8 languages."""
+    from xsd2json_spark.functions.text import detect_lang_ngram
+
+    docs = _held_out_docs()
+    assert len(docs) >= 100
+    df = spark.createDataFrame(docs, "lang string, text string")
+    got = df.select("lang", detect_lang_ngram("text").alias("pred")).collect()
+    acc = sum(1 for r in got if r["lang"] == r["pred"]) / len(got)
+    assert acc >= 0.9, f"held-out accuracy {acc:.3f} on {len(got)} docs"
+
+
+def test_langid_ngram_unknown_and_null(spark):
+    from xsd2json_spark.functions.text import detect_lang_ngram
+
+    df = spark.createDataFrame(
+        [(0, "0192 8374 !!!"), (1, ""), (2, None), (3, "zzqx")],
+        "i long, text string",
+    )
+    got = {r["i"]: r["pred"] for r in df.select("i", detect_lang_ngram("text").alias("pred")).collect()}
+    assert got[0] == "unknown" or got[0] in {"en"}  # digits/punct: no real signal
+    assert got[1] == "unknown" and got[2] == "unknown"
+
+
+def test_build_lang_profiles_spark_matches_local(spark):
+    """The distributed profile builder and the driver-side builder agree
+    gram-for-gram on the same labeled corpus."""
+    from xsd2json_spark.functions.langid_data import CORPUS
+    from xsd2json_spark.functions.text import build_lang_profiles, build_lang_profiles_local
+
+    sub = {lang: CORPUS[lang][:6] for lang in ("en", "de", "sv")}
+    rows = [(lang, t) for lang, ts in sub.items() for t in ts]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = build_lang_profiles(df, "text", "lang", top_k=50)
+    want = build_lang_profiles_local(sub, top_k=50)
+    assert set(got) == set(want)
+    for lang in want:
+        assert set(got[lang]) == set(want[lang]), lang
+        for g, w in want[lang].items():
+            assert abs(got[lang][g] - w) < 1e-12
