@@ -119,9 +119,12 @@ def main():
 
     # interleave N/4N children (A/B/A/B) so slow host phases (this is a
     # shared VM — single-run outliers of 4-8x were observed) hit both
-    # levels equally; keep the best run per level
+    # levels equally; keep the best run per level. SCALE_CHILD_PAIRS
+    # fresh JVMs per level (more children samples host phases better
+    # than more runs inside one JVM).
+    pairs = int(os.environ.get("SCALE_CHILD_PAIRS", "3"))
     results = {8: [], 32: []}
-    for cores in (8, 32, 8, 32):
+    for cores in (8, 32) * pairs:
         r = run_child(cores, path, n_rows, pin=pin, single_pass=single_pass)
         print(f"child local[{cores}]: {r['all_times']} s (agg {r['agg_phase']}, viol {r['viol_phase']})")
         results[cores].append(r)
@@ -173,8 +176,8 @@ hash-unique + broadcast anti-join) over the SAME deterministic synthetic
 (repo,path,commit,lang,content) parquet ({n_rows:,} rows), at N=8 and
 4N=32 cores in fresh JVMs (ParallelGC), JIT-warmed, children
 interleaved A/B/A/B; {pin_note}.
-Each number is the best of {samples} timed runs ({TIMED_RUNS} per JVM, 2 JVMs per
-level); all samples listed below.
+Each number is the best of {samples} timed runs ({TIMED_RUNS} per JVM); all
+samples listed below.
 
 | parallelism | wall-clock (s) | validated files/sec |
 |---|---|---|
