@@ -8,11 +8,13 @@ both sides (the driver hash-compares values after sorting columns by
 name). Floating aggregates are rounded on BOTH sides to dodge
 summation-order low-bit drift.
 
-Non-SQL-expressible entries (MinHash LSH pairs, xxhash64 SimHash
-pairs, IVF ANN, drift p-values, multimodal codec) intentionally have no
-oracle — the driver records a rows-only check, and each carries a
-pytest golden instead (planted-dup recall, published-value p-value
-pins, labeled-corpus accuracy).
+Non-SQL-expressible entries (the xxhash64 production variants of
+MinHash/SimHash pairs, drift p-values, multimodal codec) intentionally
+have no oracle — the driver records a rows-only check, and each carries
+a pytest golden instead (planted-dup recall, published-value p-value
+pins, deterministic codec); each also has an md5-family sibling query
+that IS oracle-checked end-to-end (doc_minhash_dups,
+doc_simhash_pairs_md5), so the pipeline logic itself is hash-verified.
 """
 
 from __future__ import annotations
@@ -310,6 +312,24 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking + in-block Hamming verify — the production simhash path."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return D.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=16, prefix_bits=8).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def q_doc_simhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked (new this round): SimHash near-dup pairs in the
+    oracle configuration — md5 bit votes (32 bits), top-8-bit prefix
+    blocking, bit_count Hamming verify — replayed end-to-end by DuckDB
+    (see _simhash_pairs_oracle). The production 64-bit xxhash64 path is
+    q_doc_simhash_pairs."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 300) & F.col("text").isNotNull()
+    )
+    return D.simhash_near_duplicates(
+        docs, "doc_id", "text", max_hamming=8, prefix_bits=8, family="md5", num_bits=32
+    ).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         F.col("hamming").cast("long").alias("hamming"),
@@ -675,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_dups_xx": q_doc_minhash_dups_xx,
         "doc_simhash": q_doc_simhash,
         "doc_simhash_pairs": q_doc_simhash_pairs,
+        "doc_simhash_pairs_md5": q_doc_simhash_pairs_md5,
         "emb_knn_brute": q_emb_knn_brute,
         "emb_knn_lsh": q_emb_knn_lsh,
         "emb_knn_lsh_pruned": q_emb_knn_lsh_pruned,
@@ -807,6 +828,37 @@ def _langid_ngram_oracle() -> str:
     """
 
 
+def _simhash_pairs_oracle() -> str:
+    """DuckDB replay of the md5 SimHash pair pipeline: the same 32-bit
+    md5 bit-vote signature as the doc_simhash oracle, then top-8-bit
+    prefix blocks, then bit_count(xor) Hamming verify within blocks."""
+    num_bits, prefix_bits, max_hamming = 32, 8, 8
+    return rf"""
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+            FROM documents WHERE doc_id < 300 AND text IS NOT NULL
+        ),
+        bits AS (
+            SELECT doc_id, j.j AS j,
+                   sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(t), 1 + j.j // 4, 1)) - 1)
+                                  >> (j.j % 4)) & 1 = 1
+                            THEN 1 ELSE -1 END) AS vote
+            FROM toks, (SELECT unnest(range(0, {num_bits})) AS j) j
+            GROUP BY doc_id, j.j
+        ),
+        sh AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS s
+            FROM bits GROUP BY doc_id
+        ),
+        b AS (SELECT doc_id, s, s >> {num_bits - prefix_bits} AS blk FROM sh)
+        SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(c.doc_id AS BIGINT) AS id_b,
+               CAST(bit_count(xor(a.s, c.s)) AS BIGINT) AS hamming
+        FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+        WHERE bit_count(xor(a.s, c.s)) <= {max_hamming}
+    """
+
+
 def _minhash_oracle() -> str:
     """DuckDB replay of the md5-family MinHash LSH pipeline (mirrors
     functions/dedup.py minhash_signature_sql + band_keys + the verify
@@ -894,6 +946,7 @@ def oracle_sql() -> dict[str, str]:
         "cv_resume_lineage": resume_checks,
         "doc_langid_ngram": _langid_ngram_oracle(),
         "doc_minhash_dups": _minhash_oracle(),
+        "doc_simhash_pairs_md5": _simhash_pairs_oracle(),
         "emb_knn_ivf": _ivf_oracle(),
         "emb_knn_lsh": _lsh_oracle(),
         "emb_knn_lsh_pruned": _lsh_oracle(),

@@ -94,6 +94,45 @@ def run_child(cores: int, path: str, n_rows: int, pin: bool, single_pass: bool) 
     raise RuntimeError(f"child local[{cores}] failed:\n{out.stdout[-2000:]}\n{out.stderr[-3000:]}")
 
 
+BURN = r"""
+import sys, time
+from multiprocessing import Pool
+
+def burn(n):
+    x = 0
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+    return x
+
+if __name__ == "__main__":
+    workers = int(sys.argv[1]); per = 30_000_000
+    with Pool(workers) as p:
+        p.map(burn, [per // 10] * workers)
+        t0 = time.perf_counter()
+        p.map(burn, [per] * workers)
+        dt = time.perf_counter() - t0
+    print(f"BURN {workers * per / dt / 1e6:.1f}")
+"""
+
+
+def measure_burn(cores: int, pin: bool) -> float:
+    """Pure-CPU multiprocessing burn (no Spark, register arithmetic
+    only) at `cores` workers, measured INTERLEAVED with the Spark
+    children: this is the host's thread-scaling ceiling at that moment.
+    On a shared/virtualized box the 8->32 burn efficiency itself sits
+    well under 1.0 (CPU steal / all-core frequency), and no job can
+    scale better than the host it runs on — the report normalizes the
+    job's efficiency by this ceiling."""
+    cmd = [sys.executable, "-c", BURN, str(cores)]
+    if pin and cores < 32 and shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    for line in out.stdout.splitlines():
+        if line.startswith("BURN "):
+            return float(line.split()[1])
+    raise RuntimeError(f"burn at {cores} failed: {out.stderr[-500:]}")
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     pin = "--no-pin" not in sys.argv
@@ -124,10 +163,14 @@ def main():
     # than more runs inside one JVM).
     pairs = int(os.environ.get("SCALE_CHILD_PAIRS", "3"))
     results = {8: [], 32: []}
+    burns = {8: [], 32: []}
     for cores in (8, 32) * pairs:
         r = run_child(cores, path, n_rows, pin=pin, single_pass=single_pass)
         print(f"child local[{cores}]: {r['all_times']} s (agg {r['agg_phase']}, viol {r['viol_phase']})")
         results[cores].append(r)
+        b = measure_burn(cores, pin)
+        burns[cores].append(b)
+        print(f"host burn at {cores} threads: {b:.1f} Mops/s")
 
     def fold(level):
         rs = results[level]
@@ -145,6 +188,7 @@ def main():
     eff = (n4["files_per_sec"] / n["files_per_sec"]) / 4.0
     agg_eff = (n["agg_best"] / n4["agg_best"]) / 4.0
     viol_eff = (n["viol_best"] / n4["viol_best"]) / 4.0
+    host_ceiling = (max(burns[32]) / max(burns[8])) / 4.0 if burns[8] and burns[32] else None
     samples = len(n["all_times"])
     report = {
         "n_rows": n_rows,
@@ -155,6 +199,9 @@ def main():
         "scaling_efficiency_8_to_32": round(eff, 3),
         "agg_phase_efficiency": round(agg_eff, 3),
         "violation_phase_efficiency": round(viol_eff, 3),
+        "host_burn_mops": {"8": burns[8], "32": burns[32]},
+        "host_thread_scaling_ceiling": round(host_ceiling, 3) if host_ceiling else None,
+        "normalized_efficiency": round(eff / host_ceiling, 3) if host_ceiling else None,
         "target": 0.8,
     }
     print(json.dumps(report, indent=2))
@@ -186,6 +233,13 @@ samples listed below.
 
 **Scaling efficiency (N -> 4N)** = (thr_4N / thr_N) / 4 =
 **{eff:.3f}** (target >= 0.8).
+
+Host thread-scaling ceiling, measured INTERLEAVED with the children by
+a pure-CPU multiprocessing burn (register arithmetic, no Spark, no
+memory traffic): 8(pinned) {max(burns[8]):.0f} Mops/s vs 32
+{max(burns[32]):.0f} Mops/s -> **ceiling {host_ceiling:.3f}**. No job can
+scale better than the host it runs on; **normalized efficiency
+(job / host ceiling) = {eff / host_ceiling:.3f}**.
 
 Per-phase decomposition from the same runs (best sample per level):
 

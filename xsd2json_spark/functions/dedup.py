@@ -331,13 +331,26 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_near_duplicates(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, prefix_bits: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+    family: str = "xxhash64",
+    num_bits: int = 64,
 ) -> DataFrame:
     """SimHash near-dup pairs: block on the top `prefix_bits` bits (a
     cheap LSH — near-identical texts share the prefix), verify Hamming
-    distance within blocks."""
-    sigs = df.select(F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__sim"))
-    sigs = sigs.withColumn("__block", F.shiftrightunsigned(F.col("__sim"), 64 - prefix_bits))
+    distance within blocks. family='md5' (with num_bits<=32) is the
+    oracle configuration — every step (md5 bit votes, prefix block,
+    bit_count Hamming) replays in DuckDB SQL."""
+    sig = (
+        simhash(F.col(text_col), num_bits)
+        if family == "xxhash64"
+        else simhash_md5(F.col(text_col), num_bits)
+    )
+    sigs = df.select(F.col(id_col).alias("__id"), sig.alias("__sim"))
+    sigs = sigs.withColumn("__block", F.shiftrightunsigned(F.col("__sim"), num_bits - prefix_bits))
     l, r = sigs.alias("l"), sigs.alias("r")
     return (
         l.join(r, on=[F.col("l.__block") == F.col("r.__block"), F.col("l.__id") < F.col("r.__id")])
