@@ -618,6 +618,46 @@ def q_cv_drift_chi2_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KS_GRID_POINTS = 49
+
+
+def _ks_baseline(sf_dir: str):
+    """Deterministic KS baseline (grid + its ECDF) from a vec-order-free
+    pyarrow read — the same literals feed the Spark query and the DuckDB
+    oracle (the IVF-centroid trick applied to drift)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["n_chars"]
+    ).to_pandas()
+    v = t["n_chars"].dropna().to_numpy(dtype="float64")
+    probs = [i / (KS_GRID_POINTS + 1) for i in range(1, KS_GRID_POINTS + 1)]
+    grid = [float(x) for x in np.quantile(v, probs)]
+    ecdf = [float((v <= q).mean()) for q in grid]
+    return grid, ecdf
+
+
+def q_cv_drift_ks_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked (new this round): the grid-ECDF KS D statistic
+    fully in-plan via ks_statistic_df — ECDF terms are averages of 0/1
+    indicators (exact integer sums), so D is bit-identical between
+    Spark and the DuckDB replay. Two scenarios: self (D ~ 0) and a
+    +40-char shift (D large). p-values stay driver-side (ks_pvalue,
+    scipy-pinned) — see q_cv_drift_chi2 for the verdict path."""
+    from xsd2json_spark.engine.drift import ks_statistic_df
+
+    grid, ecdf = _ks_baseline(sf_dir)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+    cur = docs.select(F.lit("self").alias("scenario"), "n_chars").unionAll(
+        docs.select(F.lit("shift_plus40").alias("scenario"), (F.col("n_chars") + 40).alias("n_chars"))
+    )
+    out = ks_statistic_df(cur, "n_chars", grid, ecdf, by=["scenario"])
+    return out.select(
+        "scenario", F.round("d_statistic", 6).alias("d_statistic"), "n_cur"
+    )
+
+
 def q_cv_resume_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpoint-resume through the audit store: validate documents in
     4 lineage buckets, return re-merged global verdicts. ORACLE-checked:
@@ -703,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cv_cube_drilldown": q_cv_cube_drilldown,
         "cv_drift_chi2": q_cv_drift_chi2,
         "cv_drift_chi2_stat": q_cv_drift_chi2_stat,
+        "cv_drift_ks_stat": q_cv_drift_ks_stat,
         "cv_drift_by_lang": q_cv_drift_by_lang,
         "cv_resume_lineage": q_cv_resume_lineage,
         "media_image_features": q_media_image_features,
@@ -783,6 +824,30 @@ def _ivf_oracle() -> str:
         )
         SELECT CAST(vec_id AS BIGINT) AS vec_id, round(s6, 4) AS score
         FROM cand ORDER BY s6 DESC, vec_id LIMIT 10
+    """
+
+
+def _ks_stat_oracle() -> str:
+    """DuckDB replay of the in-plan KS D statistic: the deterministic
+    baseline grid + ECDF embed as literals; each ECDF term is an avg of
+    0/1 indicators (exact integer sums -> bit-identical across
+    engines); D = greatest of the absolute differences."""
+    grid, ecdf = _ks_baseline("/root/testdata/sf0.01")
+    terms = ", ".join(
+        f"abs(avg(CASE WHEN v <= {q!r} THEN 1.0 ELSE 0.0 END) - CAST({e!r} AS DOUBLE))"
+        for q, e in zip(grid, ecdf)
+    )
+    return f"""
+        WITH cur AS (
+            SELECT 'self' AS scenario, CAST(n_chars AS DOUBLE) AS v
+            FROM documents WHERE n_chars IS NOT NULL
+            UNION ALL
+            SELECT 'shift_plus40', CAST(n_chars + 40 AS DOUBLE)
+            FROM documents WHERE n_chars IS NOT NULL
+        )
+        SELECT scenario, round(greatest({terms}), 6) AS d_statistic,
+               CAST(count(*) AS BIGINT) AS n_cur
+        FROM cur GROUP BY scenario
     """
 
 
@@ -944,6 +1009,7 @@ def oracle_sql() -> dict[str, str]:
         """
     return {
         "cv_resume_lineage": resume_checks,
+        "cv_drift_ks_stat": _ks_stat_oracle(),
         "doc_langid_ngram": _langid_ngram_oracle(),
         "doc_minhash_dups": _minhash_oracle(),
         "doc_simhash_pairs_md5": _simhash_pairs_oracle(),

@@ -37,6 +37,8 @@ def main(argv=None) -> int:
     ap.add_argument("--run-id", default="run1")
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--salt-partitions", type=int, default=0)
+    ap.add_argument("--baselines", default=None,
+                    help="drift-baseline JSON written by jobs/snapshot.py")
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName(f"validate:{os.path.basename(args.spec)}").getOrCreate()
@@ -45,8 +47,15 @@ def main(argv=None) -> int:
     for d in args.dim:
         name, path = d.split("=", 1)
         dims[name] = spark.read.parquet(path)
+    baselines = {}
+    if args.baselines:
+        import json
+
+        with open(args.baselines) as fh:
+            baselines = json.load(fh)
     engine = ValidationEngine(
-        spark, spec, dims=dims, config=EngineConfig(salt_partitions=args.salt_partitions)
+        spark, spec, dims=dims, baselines=baselines,
+        config=EngineConfig(salt_partitions=args.salt_partitions),
     )
     df = spark.read.parquet(args.input)
 

@@ -283,3 +283,31 @@ def test_chi2_crit_published_values():
         got = chi2_crit(dof, alpha)
         assert math.isclose(got, crit, rel_tol=1e-6)
         assert math.isclose(chi2_sf(got, dof), alpha, rel_tol=1e-6)
+
+
+def test_ks_statistic_df_matches_driver_side(spark, files):
+    """The in-plan grid-ECDF D equals the driver-side ks_drift D on the
+    same baseline (bit-exact: indicator averages are integer ratios)."""
+    from xsd2json_spark.engine.drift import ks_drift, ks_statistic_df, make_numeric_baseline
+
+    base = make_numeric_baseline(files, "length(content)")
+    c = Drift(id="d", column="content", expr="length(content)", test="ks", baseline="b", alpha=0.01)
+    shifted = files.withColumn("content", F.concat(F.col("content"), F.repeat(F.lit("pad"), 10)))
+    d, _ = ks_drift(shifted, c, base)
+    row = ks_statistic_df(shifted, "length(content)", base["grid"], base["ecdf"]).collect()[0]
+    assert row["d_statistic"] == d  # exact, not approx
+    assert row["n_cur"] == shifted.filter("content is not null").count()
+
+    # grouped: shift only one lang's lengths; only that group's D moves
+    grouped = ks_statistic_df(
+        files.withColumn(
+            "content",
+            F.when(F.col("lang") == "python", F.concat(F.col("content"), F.repeat(F.lit("x"), 80)))
+            .otherwise(F.col("content")),
+        ),
+        "length(content)", base["grid"], base["ecdf"], by=["lang"],
+    ).collect()
+    by = {r["lang"]: r["d_statistic"] for r in grouped}
+    # java's D vs the GLOBAL baseline is ~0.13 (per-lang length mixes
+    # differ a little by construction); the shifted group is ~1.0
+    assert by["python"] > 0.5 and by["java"] < 0.2

@@ -157,6 +157,32 @@ def chi2_statistic_df(
     )
 
 
+def ks_statistic_df(
+    df: DataFrame, expr: str, grid, base_ecdf, by=None
+) -> DataFrame:
+    """Grid-ECDF Kolmogorov–Smirnov D STATISTIC fully in-plan: one
+    aggregation evaluates the current ECDF at every baseline grid point
+    (avg of (v <= q_i) indicators), then D = max_i |ecdf_i - base_i| as
+    a greatest() over literal baseline values. `by` optionally groups
+    (one D row per group — per-scenario, per-window, per-lang...).
+
+    Because the ECDF terms are averages of 0/1 indicators, the sums are
+    exact integers in ANY engine — D is bit-identical across Spark and
+    a SQL replay, which is what makes the statistic oracle-able (unlike
+    p-values, which stay driver-side via ks_pvalue, scipy-pinned).
+    Returns (by..., d_statistic, n_cur)."""
+    gb = list(by or [])
+    v = F.expr(expr).cast("double")
+    cur = df.filter(v.isNotNull())
+    exprs = [
+        F.avg((v <= F.lit(float(q))).cast("double")).alias(f"__e{i}") for i, q in enumerate(grid)
+    ] + [F.count(F.lit(1)).alias("n_cur")]
+    agg = cur.groupBy(*gb).agg(*exprs) if gb else cur.agg(*exprs)
+    diffs = [F.abs(F.col(f"__e{i}") - F.lit(float(e))) for i, e in enumerate(base_ecdf)]
+    d = F.greatest(*diffs) if len(diffs) > 1 else diffs[0]
+    return agg.select(*gb, d.alias("d_statistic"), F.col("n_cur").cast("long").alias("n_cur"))
+
+
 def make_categorical_baseline_df(df: DataFrame, column: str, group_by=()) -> DataFrame:
     """Baseline counts as a DATAFRAME (no driver collect): one row per
     (group..., category). The distributed sibling of
