@@ -658,6 +658,26 @@ def q_cv_drift_ks_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cv_drift_chi2_by_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked (new this round): PER-GROUP drill-down of the
+    in-plan chi-square statistic — each lang's source mix against the
+    global source distribution (chi2_statistic_df with by=['lang'],
+    one distributed aggregation for all groups). The driver-checked
+    counterpart of the per-group drift path; p-values stay driver-side."""
+    from xsd2json_spark.engine.drift import chi2_statistic_df
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("lang").isNotNull()
+    )
+    base = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    out = chi2_statistic_df(docs, "source", base, by=["lang"])
+    return out.select(
+        "lang",
+        F.round("statistic", 6).alias("statistic"),
+        F.col("dof").cast("long").alias("dof"),
+    )
+
+
 def q_cv_resume_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpoint-resume through the audit store: validate documents in
     4 lineage buckets, return re-merged global verdicts. ORACLE-checked:
@@ -744,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cv_drift_chi2": q_cv_drift_chi2,
         "cv_drift_chi2_stat": q_cv_drift_chi2_stat,
         "cv_drift_ks_stat": q_cv_drift_ks_stat,
+        "cv_drift_chi2_by_stat": q_cv_drift_chi2_by_stat,
         "cv_drift_by_lang": q_cv_drift_by_lang,
         "cv_resume_lineage": q_cv_resume_lineage,
         "media_image_features": q_media_image_features,
@@ -1009,6 +1030,28 @@ def oracle_sql() -> dict[str, str]:
         """
     return {
         "cv_resume_lineage": resume_checks,
+        "cv_drift_chi2_by_stat": """
+            WITH docs AS (
+                SELECT lang, source FROM documents
+                WHERE source IS NOT NULL AND lang IS NOT NULL
+            ),
+            base AS (SELECT source AS cat, count(*) AS b FROM docs GROUP BY source),
+            obs AS (SELECT lang, source AS cat, count(*) AS o FROM docs GROUP BY 1, 2),
+            n AS (SELECT lang, sum(o) AS n FROM obs GROUP BY lang),
+            bt AS (SELECT sum(b) AS bt FROM base),
+            spine AS (
+                SELECT n.lang, n.n, base.cat, base.b, bt.bt
+                FROM n CROSS JOIN base CROSS JOIN bt
+            ),
+            j AS (
+                SELECT s.*, coalesce(o.o, 0) AS o
+                FROM spine s LEFT JOIN obs o ON o.lang = s.lang AND o.cat = s.cat
+            )
+            SELECT lang,
+                   round(sum(pow(o - n * b * 1.0 / bt, 2) / (n * b * 1.0 / bt)), 6) AS statistic,
+                   CAST(count(*) - 1 AS BIGINT) AS dof
+            FROM j GROUP BY lang
+        """,
         "cv_drift_ks_stat": _ks_stat_oracle(),
         "doc_langid_ngram": _langid_ngram_oracle(),
         "doc_minhash_dups": _minhash_oracle(),

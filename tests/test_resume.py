@@ -176,3 +176,35 @@ def test_same_run_id_reuses_staging(spark, tmp_path):
     r2.run(files)
     after = sorted(_os.listdir(_os.path.join(audit, "staging", "__bucket=0")))
     assert before == after  # same part files -> not rewritten
+
+
+def test_staged_input_path_fast_path(spark, tmp_path):
+    """An already bucket-partitioned input (the Iceberg
+    bucket-partitioned-table shape) skips the staging write entirely and
+    produces identical verdicts."""
+    import os as _os
+
+    files = files_table(spark, n_rows=2000).cache()
+    files.count()
+
+    normal = ResumableRunner(ValidationEngine(spark, SPEC), str(tmp_path / "n"), run_id="r1", n_buckets=4)
+    normal.run(files)
+    truth = _verdict_map(normal.global_verdicts())
+
+    # pre-bucket the input exactly like staging would (same bucket expr)
+    pre = str(tmp_path / "prebucketed")
+    (
+        files.withColumn("__bucket", normal._bucket_expr())
+        .repartition("__bucket")
+        .write.partitionBy("__bucket")
+        .parquet(pre)
+    )
+    audit = str(tmp_path / "a")
+    fast = ResumableRunner(
+        ValidationEngine(spark, SPEC), audit, run_id="r1", n_buckets=4,
+        staged_input_path=pre,
+    )
+    fast.run(files)  # df arg is ignored on the fast path
+    assert _verdict_map(fast.global_verdicts()) == truth
+    assert not _os.path.exists(_os.path.join(audit, "staging"))  # no staging write
+    files.unpersist()
