@@ -524,6 +524,35 @@ def q_emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: embedding near-dup threshold sits in a measured gap of the pair-cosine
+#: distribution at sf0.001/sf0.01 (nearest values 0.43927 / 0.442058), so
+#: double-precision summation-order drift cannot flip a pair across it
+EMB_NEARDUP_THRESHOLD = 0.4405
+EMB_NEARDUP_BANDS = 8
+EMB_NEARDUP_PLANES = 4
+
+
+def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked embedding-cosine near-duplicate pairs: banded
+    hyperplane LSH (8 bands x 4 sign bits, seed 42) -> per-(band,bucket)
+    self-join -> distinct candidates -> exact-cosine verify. The planes
+    are deterministic so DuckDB replays buckets + candidates + cosine
+    as literals (_emb_neardup_oracle). The dedup analog of the
+    reference's uniqueness checks, over vectors instead of keys."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return D.embedding_near_dups(
+        emb,
+        dim=64,
+        threshold=EMB_NEARDUP_THRESHOLD,
+        n_bands=EMB_NEARDUP_BANDS,
+        planes_per_band=EMB_NEARDUP_PLANES,
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("cos_sim", 4).alias("cos_sim"),
+    )
+
+
 def q_cv_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drift operator demo (no oracle — p-values need the incomplete
     gamma function): chi-square of the lang mix against a baseline
@@ -760,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_lsh": q_emb_knn_lsh,
         "emb_knn_lsh_pruned": q_emb_knn_lsh_pruned,
         "emb_knn_ivf": q_emb_knn_ivf,
+        "emb_near_dups": q_emb_near_dups,
         "cv_cube_drilldown": q_cv_cube_drilldown,
         "cv_drift_chi2": q_cv_drift_chi2,
         "cv_drift_chi2_stat": q_cv_drift_chi2_stat,
@@ -802,6 +832,48 @@ def _lsh_oracle() -> str:
         )
         SELECT CAST(vec_id AS BIGINT) AS vec_id, round(s6, 4) AS score
         FROM cand ORDER BY s6 DESC, vec_id LIMIT 10
+    """
+
+
+def _emb_neardup_oracle() -> str:
+    """DuckDB replay of banded hyperplane near-dup LSH: band planes are
+    deterministic (numpy seed 42, functions/dedup.band_planes) so they
+    embed as literal DOUBLE[] rows; candidates are distinct same-(band,
+    bucket) pairs, verified by exact double cosine — identical to
+    functions/dedup.embedding_near_dups."""
+    from xsd2json_spark.functions.dedup import band_planes
+
+    planes = band_planes(64, EMB_NEARDUP_BANDS, EMB_NEARDUP_PLANES, 42)
+    vals = ", ".join(
+        f"({b}, {j}, [{', '.join(repr(float(x)) for x in planes[b][j])}]::DOUBLE[])"
+        for b in range(EMB_NEARDUP_BANDS)
+        for j in range(EMB_NEARDUP_PLANES)
+    )
+    return f"""
+        WITH planes(band, j, p) AS (VALUES {vals}),
+        b AS (
+            SELECT e.vec_id, pl.band,
+                   CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) > 0
+                            THEN (1::BIGINT << pl.j) ELSE 0 END) AS BIGINT) AS bucket
+            FROM embeddings e CROSS JOIN planes pl
+            GROUP BY e.vec_id, pl.band
+        ),
+        cand AS (
+            SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+            FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket
+                             AND l.vec_id < r.vec_id
+        ),
+        verified AS (
+            SELECT c.id_a, c.id_b,
+                   round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                                eb.embedding::DOUBLE[]), 6) AS c6
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.id_a
+            JOIN embeddings eb ON eb.vec_id = c.id_b
+        )
+        SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+               round(c6, 4) AS cos_sim
+        FROM verified WHERE c6 >= {EMB_NEARDUP_THRESHOLD}
     """
 
 
@@ -1057,6 +1129,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_dups": _minhash_oracle(),
         "doc_simhash_pairs_md5": _simhash_pairs_oracle(),
         "emb_knn_ivf": _ivf_oracle(),
+        "emb_near_dups": _emb_neardup_oracle(),
         "emb_knn_lsh": _lsh_oracle(),
         "emb_knn_lsh_pruned": _lsh_oracle(),
         "cv_verdicts": f"""

@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "emb_knn_lsh",
     "emb_knn_lsh_pruned",
     "emb_knn_ivf",
+    "emb_near_dups",
 ]
 
 FILES_SPEC = {

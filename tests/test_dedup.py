@@ -143,3 +143,71 @@ def test_minhash_md5_family_finds_planted_dups(spark):
     ).collect()
     found = {(p["id_a"], p["id_b"]) for p in pairs}
     assert {(i, 100 + i) for i in range(5)} <= found
+
+
+def test_embedding_near_dups_planted_recall(spark):
+    """Planted embedding near-dups: each planted pair is a base vector
+    plus tiny noise (cosine ~0.99), so every band's 4 sign bits agree
+    with probability ~0.87 and 8 independent bands make the miss
+    probability ~(1 - 0.87)^8 ~ 1e-7 -> banding must retrieve ALL
+    planted pairs; orthogonal-ish random pairs must not pass the 0.9
+    cosine verify even if a band collides."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    dim = 32
+    rows = []
+    vid = 0
+    planted = []
+    for _ in range(5):
+        base = rng.standard_normal(dim)
+        noisy = base + 0.02 * rng.standard_normal(dim)
+        rows.append((vid, [float(x) for x in base]))
+        rows.append((vid + 1, [float(x) for x in noisy]))
+        planted.append((vid, vid + 1))
+        vid += 2
+    for _ in range(20):
+        rows.append((vid, [float(x) for x in rng.standard_normal(dim)]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = D.embedding_near_dups(df, dim=dim, threshold=0.9).collect()
+    got = {(p["id_a"], p["id_b"]): p["cos_sim"] for p in pairs}
+    assert set(got) == set(planted)  # full recall, zero false pairs
+
+    # reported cosine equals the exact numpy cosine
+    vecs = {vid: np.array(v) for vid, v in rows}
+    for (a, b), c in got.items():
+        exact = float(vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
+        assert abs(c - round(exact, 6)) < 1e-4
+
+
+def test_embedding_near_dups_candidates_are_banded_not_all_pairs(spark):
+    """The verify step must see only band-colliding candidates: two
+    vectors on OPPOSITE sides of every hyperplane (v and -v) can never
+    share a bucket, so even though cosine(v, v) = 1 for duplicates of
+    the negation they must not appear unless a band collides. Checks
+    the plan has no CartesianProduct."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    dim = 16
+    v = rng.standard_normal(dim)
+    df = spark.createDataFrame(
+        [(0, [float(x) for x in v]), (1, [float(-x) for x in v])],
+        "vec_id long, embedding array<double>",
+    )
+    out = D.embedding_near_dups(df, dim=dim, threshold=-1.1)
+    assert "CartesianProduct" not in out._jdf.queryExecution().executedPlan().toString()
+    assert out.collect() == []  # opposite sign bits in every band -> no candidate
+
+
+def test_embedding_near_dups_arrow_equals_exprs(spark):
+    """The Arrow matmul bucket path must produce the identical pair set
+    and cosines as the single-parse SQL expression path (the DuckDB
+    oracle configuration)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(dim=64, threshold=0.4405)
+    exprs = sorted(map(tuple, D.embedding_near_dups(emb, use_arrow=False, **kw).collect()))
+    arrow = sorted(map(tuple, D.embedding_near_dups(emb, use_arrow=True, **kw).collect()))
+    assert exprs == arrow
+    assert len(exprs) > 0

@@ -156,3 +156,44 @@ def test_stream_drift_per_group(spark, tmp_path):
     # they are identical by construction, so compare directly
     for g in ("g1", "g2"):
         assert math.isclose(rows[(True, g)]["statistic"], bstat[g], rel_tol=1e-9)
+
+
+def test_stream_unique_violations_cross_batch(spark, tmp_path):
+    """Per-key state must survive micro-batch boundaries: r2 appears
+    once in file 1 and twice in file 2 — a window/batch-local dedup
+    would report 1 duplicate, the stateful operator must report 2. Sum
+    of dup_count over the whole stream equals the batch engine's
+    count-1 per duplicated key, regardless of file processing order."""
+    from xsd2json_spark.spec.constraints import Unique
+    from xsd2json_spark.streaming.validate_stream import stream_unique_violations
+
+    d = str(tmp_path / "usrc")
+    schema = "repo string, path string, commit string"
+    b1 = [("r1", "a", "c1"), ("r1", "a", "c1"), ("r2", "b", "c2"), ("r3", "x", "c3")]
+    b2 = [("r2", "b", "c2"), ("r2", "b", "c2"), ("r4", "y", "c4")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(d)
+
+    c = Unique(id="uq", columns=["repo", "path", "commit"])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch -> state must carry over
+        .parquet(d)
+    )
+    out = stream_unique_violations(stream, c)
+    q = (
+        out.writeStream.format("memory").queryName("uniq_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("uniq_stream").collect()
+    dup_by_key = {}
+    for r in rows:
+        dup_by_key[(r["repo"], r["path"], r["commit"])] = (
+            dup_by_key.get((r["repo"], r["path"], r["commit"]), 0) + r["dup_count"]
+        )
+    # batch ground truth: count-1 per duplicated key
+    assert dup_by_key == {("r1", "a", "c1"): 1, ("r2", "b", "c2"): 2}
+    # cross-batch: r2's duplicates span two files; total_seen reaches 3
+    assert max(r["total_seen"] for r in rows if r["repo"] == "r2") == 3
+    assert all(r["constraint_id"] == "uq" for r in rows)

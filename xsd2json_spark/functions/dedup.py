@@ -10,6 +10,7 @@ shape that survives 100 TB: no cross join, no Python, no driver loop.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve under __future__ annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -394,4 +395,137 @@ def ngram_jaccard_pairs(
             F.round(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def band_planes(dim: int, n_bands: int, planes_per_band: int, seed: int = 42):
+    """Banded random hyperplanes for embedding near-dup LSH: one
+    (planes_per_band x dim) sign-bit sketch per band, all drawn from a
+    single seeded RandomState so DuckDB oracles can replay them as
+    literals (same trick as similarity.hyperplanes)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_bands, planes_per_band, dim))
+
+
+def _sql_band_structs(vec_sql: str, planes) -> str:
+    """One-parse SQL for the array of (band, bucket) structs.
+
+    Building this with per-literal Column ops costs n_bands x
+    planes_per_band x dim F.lit py4j round-trips (~7 s of DRIVER time
+    at 8x4x64 before a single task runs); a single F.expr parse of the
+    same expression is milliseconds — the MinHash kernel precedent.
+    Semantics are identical to similarity.lsh_bucket: dot as a
+    left-to-right double fold, bucket bit j = 1 iff dot(plane_j) > 0."""
+    structs = []
+    for b in range(len(planes)):
+        terms = []
+        for j, p in enumerate(planes[b]):
+            vec = "array(" + ",".join(f"{float(x)!r}D" for x in p) + ")"
+            dot = (
+                f"aggregate(zip_with({vec_sql}, {vec}, (x, y) -> double(x) * double(y)), "
+                f"0.0D, (acc, v) -> acc + v)"
+            )
+            terms.append(f"(CASE WHEN {dot} > 0.0D THEN {1 << j}L ELSE 0L END)")
+        structs.append(f"named_struct('band', {b}, 'bucket', CAST({' + '.join(terms)} AS BIGINT))")
+    return "array(" + ", ".join(structs) + ")"
+
+
+def _band_buckets_arrow(vec_col: Column, planes) -> Column:
+    """Arrow-batched band buckets: one BLAS matmul per record batch
+    computes ALL n_bands x planes_per_band plane dots at once and packs
+    the sign bits per band — the large-config path (high dim / many
+    planes), where per-element interpreted folds dominate and the plan
+    literal tree would bloat Catalyst analysis. Mirrors
+    similarity.assign_centroid_arrow (incl. the null/ragged guard)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    p = np.ascontiguousarray(planes, dtype=np.float64)  # (nb, ppb, dim)
+    nb, ppb, dim = p.shape
+    flat_t = p.reshape(nb * ppb, dim).T  # dim x (nb*ppb)
+    weights = (1 << np.arange(ppb)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        vals = v.tolist()
+        bad = [i for i, x in enumerate(vals) if x is None or len(x) != dim]
+        if bad:
+            raise ValueError(
+                f"band_buckets_arrow: {len(bad)} null/ragged embedding rows "
+                f"(expected dim {dim}); first bad batch index {bad[0]}"
+            )
+        m = np.array(vals, dtype=np.float64)
+        bits = (m @ flat_t) > 0  # n x (nb*ppb)
+        buckets = bits.reshape(len(m), nb, ppb).astype(np.int64) @ weights  # n x nb
+        return pd.Series(list(buckets))
+
+    return _buckets(vec_col)
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 8,
+    planes_per_band: int = 4,
+    seed: int = 42,
+    use_arrow: bool | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded hyperplane LSH:
+      sign-bit bucket per band -> per-(band, bucket) self-join ->
+      distinct candidate pairs -> exact-cosine verify on candidates only.
+    Returns (id_a, id_b, cos_sim) with id_a < id_b, round(cos,6) >= threshold.
+
+    Scale shape (mirrors minhash_pairs): the banded self-join shuffles
+    only (id, band, bucket) — embeddings do NOT ride through the join
+    n_bands times; they are re-joined for the exact-cosine verify of the
+    deduplicated candidate set only. Collision probability per band is
+    (1 - theta/pi)^planes_per_band, so n_bands x planes_per_band tunes
+    the recall/candidate-count trade-off exactly like MinHash banding.
+    No cross join anywhere.
+
+    Bucket computation auto-dispatches like IVF centroid assignment:
+    below ARROW_ASSIGN_THRESHOLD literals it is a single-parse SQL
+    expression (whole-stage codegen, no Python in the plan — the
+    DuckDB-oracle configuration); above, an Arrow pandas_udf whose
+    record-batch matmul computes every plane dot at once
+    (test-asserted equal to the expression path)."""
+    from xsd2json_spark.functions.similarity import ARROW_ASSIGN_THRESHOLD, cosine
+
+    planes = band_planes(dim, n_bands, planes_per_band, seed)
+    if use_arrow is None:
+        use_arrow = n_bands * planes_per_band * dim > ARROW_ASSIGN_THRESHOLD
+    if use_arrow:
+        keyed = df.select(
+            F.col(id_col).alias("__id"), _band_buckets_arrow(F.col(vec_col), planes).alias("__bks")
+        ).select("__id", F.posexplode("__bks").alias("__band", "__bucket"))
+    else:
+        bands = F.expr(_sql_band_structs(f"`{vec_col}`", planes))
+        keyed = df.select(F.col(id_col).alias("__id"), F.explode(bands).alias("__bb")).select(
+            "__id", F.col("__bb.band").alias("__band"), F.col("__bb.bucket").alias("__bucket")
+        )
+    left, right = keyed.alias("l"), keyed.alias("r")
+    cand = (
+        left.join(
+            right,
+            on=[
+                F.col("l.__band") == F.col("r.__band"),
+                F.col("l.__bucket") == F.col("r.__bucket"),
+                F.col("l.__id") < F.col("r.__id"),
+            ],
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
     )

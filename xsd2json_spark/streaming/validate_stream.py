@@ -16,15 +16,21 @@ stream-static joins:
 - ``stream_fk_violations`` joins the stream against a STATIC dimension
   (stream-static left_anti is supported natively and stays broadcast).
 - uniqueness-within-window comes free as a windowed groupBy count.
+- ``stream_unique_violations`` is CROSS-batch uniqueness: per-key
+  seen-counts in ``applyInPandasWithState`` (the custom stateful
+  operator surface) — built-in streaming ``dropDuplicates`` keeps the
+  firsts but cannot REPORT the duplicates, which is exactly the
+  violation row the engine's batch unique check emits.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from xsd2json_spark.engine.compile import compile_predicate
-from xsd2json_spark.spec.constraints import ForeignKey, Spec
+from xsd2json_spark.spec.constraints import ForeignKey, Spec, Unique
 
 
 def stream_violations(stream_df: DataFrame, spec: Spec) -> DataFrame:
@@ -85,6 +91,57 @@ def stream_category_counts(
             value.alias(c.column),
         )
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def stream_unique_violations(
+    stream_df: DataFrame, c: Unique, timeout: str = "NoTimeout"
+) -> DataFrame:
+    """Cross-micro-batch uniqueness violations via per-key state
+    (``applyInPandasWithState`` — Arrow-batched, no per-row Python).
+
+    State per distinct key = rows seen so far (one long). A micro-batch
+    that brings the key's total above 1 emits ONE violation row:
+    (key..., constraint_id, dup_count, total_seen) where dup_count is
+    the number of NEW duplicate arrivals this batch (the first-ever
+    occurrence is free). Summing dup_count over the stream equals the
+    batch engine's count-1 per duplicated key — asserted in
+    test_streaming.
+
+    Scale notes: state is one long per distinct key, hash-partitioned
+    by Spark's streaming state store across executors (RocksDB-backed
+    in production) — the same key-partitioned shape as the batch salted
+    unique agg. For unbounded key churn set ``timeout`` to
+    ``ProcessingTimeTimeout`` and call ``state.setTimeoutDuration`` to
+    TTL idle keys (bounded retention is then explicit, mirroring the
+    watermarked operators above)."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    keys = list(c.columns)
+    cid = c.id
+    key_struct = ", ".join(f"{k} string" for k in keys)
+    out_schema = StructType.fromDDL(
+        f"{key_struct}, constraint_id string, dup_count long, total_seen long"
+    )
+    state_schema = StructType.fromDDL("seen long")
+
+    def fn(key, pdfs, state):
+        seen = state.get[0] if state.exists else 0
+        batch_n = 0
+        for pdf in pdfs:
+            batch_n += len(pdf)
+        total = seen + batch_n
+        state.update((total,))
+        new_dups = batch_n if seen > 0 else batch_n - 1
+        if new_dups > 0:
+            yield pd.DataFrame(
+                [list(key) + [cid, new_dups, total]],
+                columns=keys + ["constraint_id", "dup_count", "total_seen"],
+            )
+
+    keyed = stream_df.select(*[F.col(k).cast("string").alias(k) for k in keys])
+    return keyed.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
     )
 
 
