@@ -687,6 +687,22 @@ def q_cv_drift_ks_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cv_drift_ks_by_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked PER-GROUP KS drill-down: each lang's n_chars
+    distribution against the global baseline ECDF, one distributed
+    aggregation for all groups (ks_statistic_df with by=['lang']).
+    Completes the drift-stat oracle matrix: {chi2, KS} x {global,
+    per-group}; p-values stay driver-side (scipy-pinned)."""
+    from xsd2json_spark.engine.drift import ks_statistic_df
+
+    grid, ecdf = _ks_baseline(sf_dir)
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    )
+    out = ks_statistic_df(docs, "n_chars", grid, ecdf, by=["lang"])
+    return out.select("lang", F.round("d_statistic", 6).alias("d_statistic"), "n_cur")
+
+
 def q_cv_drift_chi2_by_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-checked (new this round): PER-GROUP drill-down of the
     in-plan chi-square statistic — each lang's source mix against the
@@ -794,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cv_drift_chi2": q_cv_drift_chi2,
         "cv_drift_chi2_stat": q_cv_drift_chi2_stat,
         "cv_drift_ks_stat": q_cv_drift_ks_stat,
+        "cv_drift_ks_by_stat": q_cv_drift_ks_by_stat,
         "cv_drift_chi2_by_stat": q_cv_drift_chi2_by_stat,
         "cv_drift_by_lang": q_cv_drift_by_lang,
         "cv_resume_lineage": q_cv_resume_lineage,
@@ -941,6 +958,24 @@ def _ks_stat_oracle() -> str:
         SELECT scenario, round(greatest({terms}), 6) AS d_statistic,
                CAST(count(*) AS BIGINT) AS n_cur
         FROM cur GROUP BY scenario
+    """
+
+
+def _ks_by_stat_oracle() -> str:
+    """Per-group DuckDB replay of the KS D statistic (same literal
+    grid/ECDF as _ks_stat_oracle, grouped by lang)."""
+    grid, ecdf = _ks_baseline("/root/testdata/sf0.01")
+    terms = ", ".join(
+        f"abs(avg(CASE WHEN v <= {q!r} THEN 1.0 ELSE 0.0 END) - CAST({e!r} AS DOUBLE))"
+        for q, e in zip(grid, ecdf)
+    )
+    return f"""
+        SELECT lang, round(greatest({terms}), 6) AS d_statistic,
+               CAST(count(*) AS BIGINT) AS n_cur
+        FROM (
+            SELECT lang, CAST(n_chars AS DOUBLE) AS v
+            FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        ) GROUP BY lang
     """
 
 
@@ -1125,6 +1160,7 @@ def oracle_sql() -> dict[str, str]:
             FROM j GROUP BY lang
         """,
         "cv_drift_ks_stat": _ks_stat_oracle(),
+        "cv_drift_ks_by_stat": _ks_by_stat_oracle(),
         "doc_langid_ngram": _langid_ngram_oracle(),
         "doc_minhash_dups": _minhash_oracle(),
         "doc_simhash_pairs_md5": _simhash_pairs_oracle(),

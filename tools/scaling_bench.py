@@ -209,7 +209,7 @@ def main():
         f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
         "agg_phase_efficiency": round(agg_eff, 3),
         "violation_phase_efficiency": round(viol_eff, 3),
-        "host_burn_mops": {"8": burns[8], "32": burns[32]},
+        "host_burn_mops": {str(lo): burns[lo], str(hi): burns[hi]},
         "host_thread_scaling_ceiling": round(host_ceiling, 3) if host_ceiling else None,
         "normalized_efficiency": round(eff / host_ceiling, 3) if host_ceiling else None,
         "target": 0.8,
