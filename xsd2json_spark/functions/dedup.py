@@ -1,11 +1,15 @@
 """Deduplication at training-data scale: exact, MinHash+LSH, SimHash,
-n-gram Jaccard.
+n-gram Jaccard, embedding-cosine.
 
-Everything is built-in Column expressions — shingling, MinHash, banding,
-and Hamming distance all run JVM-side. The LSH self-join shuffles on the
-band-bucket key, so candidate generation is O(#colliding pairs), not
-O(n^2); the exact-Jaccard verify touches candidates only. This is the
-shape that survives 100 TB: no cross join, no Python, no driver loop.
+The text kernels are built-in Column expressions — shingling, MinHash,
+banding, and Hamming distance all run JVM-side. The LSH self-joins
+shuffle on band-bucket keys, so candidate generation is O(#colliding
+pairs), not O(n^2); the exact verify (Jaccard / cosine) touches
+candidates only. The embedding kernels auto-dispatch to Arrow-batched
+pandas_udfs (one numpy pass per record batch) above a literal-count
+crossover, exactly like similarity's centroid assignment. This is the
+shape that survives 100 TB: no cross join, no per-row Python, no
+driver loop.
 """
 
 from __future__ import annotations
@@ -432,6 +436,13 @@ def _sql_band_structs(vec_sql: str, planes) -> str:
     return "array(" + ", ".join(structs) + ")"
 
 
+#: plane-literal count above which embedding_near_dups switches the
+#: bucket computation to the Arrow matmul (lower than similarity's
+#: ARROW_ASSIGN_THRESHOLD because the expression is re-analyzed across
+#: the explode + self-join and interpreted per-element at eval time)
+EMB_ARROW_THRESHOLD = 1024
+
+
 def _band_buckets_arrow(vec_col: Column, planes) -> Column:
     """Arrow-batched band buckets: one BLAS matmul per record batch
     computes ALL n_bands x planes_per_band plane dots at once and packs
@@ -464,6 +475,35 @@ def _band_buckets_arrow(vec_col: Column, planes) -> Column:
     return _buckets(vec_col)
 
 
+def _cosine_arrow(a_col: Column, b_col: Column, dim: int) -> Column:
+    """Arrow-batched exact cosine for the candidate-verify step: one
+    vectorized numpy pass per record batch instead of an interpreted
+    ~3x dim lambda fold per pair (the fold dominates wall-clock once
+    candidates number in the tens of thousands). Zero-norm pairs score
+    0.0, matching similarity.cosine's try_divide+coalesce."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        va, vb = a.tolist(), b.tolist()
+        bad = [i for i, (x, y) in enumerate(zip(va, vb))
+               if x is None or y is None or len(x) != dim or len(y) != dim]
+        if bad:
+            raise ValueError(
+                f"cosine_arrow: {len(bad)} null/ragged embedding rows "
+                f"(expected dim {dim}); first bad batch index {bad[0]}"
+            )
+        ma = np.array(va, dtype=np.float64)
+        mb = np.array(vb, dtype=np.float64)
+        num = (ma * mb).sum(axis=1)
+        den = np.sqrt((ma * ma).sum(axis=1)) * np.sqrt((mb * mb).sum(axis=1))
+        out = np.divide(num, den, out=np.zeros_like(num), where=den > 0)
+        return pd.Series(out)
+
+    return _cos(a_col, b_col)
+
+
 def embedding_near_dups(
     df: DataFrame,
     dim: int,
@@ -488,17 +528,20 @@ def embedding_near_dups(
     the recall/candidate-count trade-off exactly like MinHash banding.
     No cross join anywhere.
 
-    Bucket computation auto-dispatches like IVF centroid assignment:
-    below ARROW_ASSIGN_THRESHOLD literals it is a single-parse SQL
-    expression (whole-stage codegen, no Python in the plan — the
-    DuckDB-oracle configuration); above, an Arrow pandas_udf whose
-    record-batch matmul computes every plane dot at once
-    (test-asserted equal to the expression path)."""
-    from xsd2json_spark.functions.similarity import ARROW_ASSIGN_THRESHOLD, cosine
+    Bucket computation auto-dispatches like IVF centroid assignment,
+    but with a LOWER crossover than ARROW_ASSIGN_THRESHOLD: the bucket
+    expression feeds an explode and a self-join, so Catalyst re-analyzes
+    the literal tree several times per plan (measured: 8x4x64 = 2048
+    literals cost ~13 s/run of driver-side analysis at 500 rows), and
+    per ROW the interpreted higher-order folds pay ~n_planes x dim
+    lambda evaluations where the Arrow path is one record-batch BLAS
+    matmul. use_arrow=False forces the pure-expression plan (no Python
+    — the DuckDB-oracle configuration, test-asserted equal to Arrow)."""
+    from xsd2json_spark.functions.similarity import cosine
 
     planes = band_planes(dim, n_bands, planes_per_band, seed)
     if use_arrow is None:
-        use_arrow = n_bands * planes_per_band * dim > ARROW_ASSIGN_THRESHOLD
+        use_arrow = n_bands * planes_per_band * dim > EMB_ARROW_THRESHOLD
     if use_arrow:
         keyed = df.select(
             F.col(id_col).alias("__id"), _band_buckets_arrow(F.col(vec_col), planes).alias("__bks")
@@ -523,9 +566,14 @@ def embedding_near_dups(
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    cos = (
+        _cosine_arrow(F.col("__va"), F.col("__vb"), dim)
+        if use_arrow
+        else cosine(F.col("__va"), F.col("__vb"))
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
