@@ -647,6 +647,49 @@ def q_cv_drift_chi2_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cv_drift_psi_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked end-to-end drift VERDICT with zero driver-side
+    math: PSI has no p-value, so the statistic AND the conventional
+    0.1/0.25 thresholds evaluate fully in-plan (psi_statistic_df) —
+    the one drift family where even the pass/fail is SQL-replayable.
+    Scenarios: self (psi = 0) and an en->fr shift (psi large)."""
+    from xsd2json_spark.engine.drift import psi_statistic_df
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    base = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    cur = docs.select(F.lit("self").alias("scenario"), "lang").unionAll(
+        docs.select(
+            F.lit("shift_en_fr").alias("scenario"),
+            F.when(F.col("lang") == "en", F.lit("fr")).otherwise(F.col("lang")).alias("lang"),
+        )
+    )
+    out = psi_statistic_df(cur, "lang", base, by=["scenario"])
+    return out.select(
+        "scenario",
+        F.round("psi", 6).alias("psi"),
+        F.col("n_cats").cast("long").alias("n_cats"),
+        (F.col("psi") >= 0.25).alias("action"),
+        (F.col("psi") >= 0.1).alias("watch"),
+    )
+
+
+def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked vocabulary heavy hitters: per-lang top-5 terms
+    via explode -> two-stage count agg -> rank window over the counted
+    vocabulary (not the corpus). The drill-down companion to
+    doc_token_stats."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("text").isNotNull()
+    )
+    out = T.top_terms(docs, "text", k=5, group_by=["lang"])
+    return out.select(
+        "lang",
+        "term",
+        F.col("n").cast("long").alias("n"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 KS_GRID_POINTS = 49
 
 
@@ -809,6 +852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cv_cube_drilldown": q_cv_cube_drilldown,
         "cv_drift_chi2": q_cv_drift_chi2,
         "cv_drift_chi2_stat": q_cv_drift_chi2_stat,
+        "cv_drift_psi_stat": q_cv_drift_psi_stat,
+        "doc_top_terms": q_doc_top_terms,
         "cv_drift_ks_stat": q_cv_drift_ks_stat,
         "cv_drift_ks_by_stat": q_cv_drift_ks_by_stat,
         "cv_drift_chi2_by_stat": q_cv_drift_chi2_by_stat,
@@ -1358,6 +1403,57 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(pow(o - n * b * 1.0 / bt, 2) / (n * b * 1.0 / bt)), 6) AS statistic,
                    CAST(count(*) - 1 AS BIGINT) AS dof
             FROM j GROUP BY scenario
+        """,
+        "cv_drift_psi_stat": """
+            WITH base AS (
+                SELECT lang AS cat, count(*) AS b FROM documents
+                WHERE lang IS NOT NULL GROUP BY lang
+            ),
+            cur AS (
+                SELECT 'self' AS scenario, lang FROM documents WHERE lang IS NOT NULL
+                UNION ALL
+                SELECT 'shift_en_fr', CASE WHEN lang = 'en' THEN 'fr' ELSE lang END
+                FROM documents WHERE lang IS NOT NULL
+            ),
+            obs AS (SELECT scenario, lang AS cat, count(*) AS o FROM cur GROUP BY 1, 2),
+            n AS (SELECT scenario, sum(o) AS n FROM obs GROUP BY 1),
+            bt AS (SELECT sum(b) AS bt FROM base),
+            spine AS (
+                SELECT n.scenario, n.n, base.cat, base.b, bt.bt
+                FROM n CROSS JOIN base CROSS JOIN bt
+            ),
+            j AS (
+                SELECT s.*, coalesce(o.o, 0) AS o
+                FROM spine s LEFT JOIN obs o ON o.scenario = s.scenario AND o.cat = s.cat
+            ),
+            agg AS (
+                SELECT scenario,
+                       sum((greatest(o * 1.0 / n, 1e-6) - greatest(b * 1.0 / bt, 1e-6))
+                           * ln(greatest(o * 1.0 / n, 1e-6) / greatest(b * 1.0 / bt, 1e-6))) AS psi,
+                       count(*) AS n_cats
+                FROM j GROUP BY scenario
+            )
+            SELECT scenario, round(psi, 6) AS psi, CAST(n_cats AS BIGINT) AS n_cats,
+                   psi >= 0.25 AS action, psi >= 0.1 AS watch
+            FROM agg
+        """,
+        "doc_top_terms": r"""
+            WITH toks AS (
+                SELECT lang, unnest(
+                    CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN []
+                         ELSE regexp_split_to_array(
+                              lower(regexp_replace(regexp_replace(text, '^\s+', ''), '\s+$', '')), '\s+')
+                    END) AS term
+                FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
+            ),
+            c AS (SELECT lang, term, count(*) AS n FROM toks GROUP BY 1, 2),
+            r AS (
+                SELECT lang, term, n,
+                       row_number() OVER (PARTITION BY lang ORDER BY n DESC, term ASC) AS rank
+                FROM c
+            )
+            SELECT lang, term, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 5
         """,
         "doc_simhash": r"""
             WITH toks AS (

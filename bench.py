@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "events_user_activity",
     "cv_cube_drilldown",
     "cv_drift_chi2_stat",
+    "cv_drift_psi_stat",
+    "doc_top_terms",
     "doc_token_stats",
     "doc_fingerprint",
     "doc_minhash_dups",

@@ -311,3 +311,30 @@ def test_ks_statistic_df_matches_driver_side(spark, files):
     # java's D vs the GLOBAL baseline is ~0.13 (per-lang length mixes
     # differ a little by construction); the shifted group is ~1.0
     assert by["python"] > 0.5 and by["java"] < 0.2
+
+
+def test_psi_statistic_hand_computed(spark):
+    """PSI against hand-computed values: baseline 50/50, current 80/20
+    -> psi = 0.3*ln(1.6) - 0.3*ln(0.4) = 0.415888...; self -> 0; a
+    VANISHED category is clipped to eps and contributes the large
+    finite penalty that flags disappearance (the failure mode per-group
+    chi2 needed the spine for)."""
+    import math
+
+    from xsd2json_spark.engine.drift import psi_statistic_df
+
+    base = spark.createDataFrame([("a", 50), ("b", 50)], "lang string, n long")
+    cur = spark.createDataFrame(
+        [("shift", "a")] * 80 + [("shift", "b")] * 20
+        + [("self", "a")] * 50 + [("self", "b")] * 50
+        + [("vanish", "a")] * 100,
+        "scenario string, lang string",
+    )
+    rows = {r["scenario"]: r for r in psi_statistic_df(cur, "lang", base, by=["scenario"]).collect()}
+    expected_shift = 0.3 * math.log(1.6) - 0.3 * math.log(0.4)
+    assert abs(rows["shift"]["psi"] - expected_shift) < 1e-9
+    assert abs(rows["self"]["psi"]) < 1e-12
+    expected_vanish = 0.5 * math.log(2.0) + (1e-6 - 0.5) * math.log(1e-6 / 0.5)
+    assert abs(rows["vanish"]["psi"] - expected_vanish) < 1e-9
+    assert rows["vanish"]["psi"] > 0.25  # well past the conventional action threshold
+    assert all(r["n_cats"] == 2 for r in rows.values())  # baseline spine, every scenario

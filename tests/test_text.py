@@ -162,3 +162,26 @@ def test_build_lang_profiles_spark_matches_local(spark):
         assert set(got[lang]) == set(want[lang]), lang
         for g, w in want[lang].items():
             assert abs(got[lang][g] - w) < 1e-12
+
+
+def test_top_terms_counts_and_tiebreak(spark):
+    """Known corpus: counts are exact, rank orders by count desc then
+    term asc (deterministic tie-break), groups don't leak."""
+    from xsd2json_spark.functions.text import top_terms
+
+    docs = spark.createDataFrame(
+        [
+            ("en", "apple apple banana Cherry cherry"),
+            ("en", "banana apple"),
+            ("fr", "pomme pomme poire"),
+        ],
+        "lang string, text string",
+    )
+    rows = top_terms(docs, "text", k=2, group_by=["lang"]).collect()
+    got = {(r["lang"], r["rank"]): (r["term"], r["n"]) for r in rows}
+    # en: apple x3, banana x2, cherry x2 (lowercased) -> tie broken by term asc
+    assert got[("en", 1)] == ("apple", 3)
+    assert got[("en", 2)] == ("banana", 2)
+    assert got[("fr", 1)] == ("pomme", 2)
+    assert got[("fr", 2)] == ("poire", 1)
+    assert len(rows) == 4

@@ -157,6 +157,43 @@ def chi2_statistic_df(
     )
 
 
+def psi_statistic_df(
+    df: DataFrame, column: str, baseline_df: DataFrame, by=None, eps: float = 1e-6
+) -> DataFrame:
+    """Population Stability Index, fully in-plan (same spine shape as
+    chi2_statistic_df): psi = sum_cat (p_cur - p_base) * ln(p_cur /
+    p_base) over the baseline's category spine, proportions clipped to
+    ``eps`` so empty cells contribute a finite, deterministic penalty.
+    PSI has no p-value — the conventional action thresholds are 0.1
+    (watch) / 0.25 (act), applied directly to the statistic, which
+    makes the whole check oracle-able (no driver-side math at all,
+    unlike chi2/KS where only the p-value stays on the driver).
+    Same caveat as chi2_statistic_df: observed categories must be a
+    subset of the baseline's (pre-bucket novel categories into OTHER).
+    Returns (by..., psi, n_cats)."""
+    gb = list(by or [])
+    obs = (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(*gb, F.col(column).alias("__cat"))
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    b = baseline_df.select(F.col(column).alias("__cat"), F.col("n").alias("__b")).filter(
+        F.col("__cat").isNotNull()
+    )
+    bt = b.agg(F.sum("__b").alias("__bt"))
+    n = obs.groupBy(*gb).agg(F.sum("__o").alias("__n"))
+    spine = n.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(bt))
+    j = spine.join(obs, gb + ["__cat"], "left").withColumn(
+        "__o", F.coalesce(F.col("__o"), F.lit(0))
+    )
+    p_cur = F.greatest(F.col("__o") / F.col("__n"), F.lit(eps))
+    p_base = F.greatest(F.col("__b") / F.col("__bt"), F.lit(eps))
+    return j.groupBy(*gb).agg(
+        F.sum((p_cur - p_base) * F.log(p_cur / p_base)).alias("psi"),
+        F.count(F.lit(1)).alias("n_cats"),
+    )
+
+
 def ks_statistic_df(
     df: DataFrame, expr: str, grid, base_ecdf, by=None
 ) -> DataFrame:

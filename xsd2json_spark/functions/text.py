@@ -284,3 +284,23 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         detect_lang(c).alias("lang_detected"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def top_terms(df: DataFrame, text_col: str, k: int = 5, group_by=None, lowercase: bool = True) -> DataFrame:
+    """Corpus vocabulary heavy hitters: explode tokens -> two-stage
+    count aggregation (map-side partial combine on (group, term)) ->
+    per-group top-k via a rank window. The window's input is the
+    COUNTED table (one row per distinct (group, term)), so the sort
+    touches the vocabulary, not the corpus — the top-k shape that
+    survives 100 TB (the explode never shuffles raw text; only
+    (group, term, partial-count) triples move). Deterministic
+    tie-break: higher count first, then term ascending.
+    Returns (group..., term, n, rank) with rank <= k."""
+    from pyspark.sql.window import Window
+
+    gb = list(group_by or [])
+    src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    exploded = df.select(*gb, F.explode(tokens(src)).alias("term"))
+    counts = exploded.groupBy(*gb, "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(*gb).orderBy(F.col("n").desc(), F.col("term").asc())
+    return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
