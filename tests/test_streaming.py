@@ -197,3 +197,44 @@ def test_stream_unique_violations_cross_batch(spark, tmp_path):
     # cross-batch: r2's duplicates span two files; total_seen reaches 3
     assert max(r["total_seen"] for r in rows if r["repo"] == "r2") == 3
     assert all(r["constraint_id"] == "uq" for r in rows)
+
+
+def test_stream_session_counts_match_batch_gaps(spark, tmp_path):
+    """Session windows on a stream must close to EXACTLY the batch
+    gaps-and-islands sessions: deterministic per-user event times with
+    known gaps, a far-future sentinel event pushes the watermark past
+    every real session so append mode emits all of them."""
+    import datetime as dt
+
+    from xsd2json_spark.streaming.validate_stream import stream_session_counts
+
+    base = dt.datetime(2023, 11, 14, 12, 0, 0)
+    rows = []
+    # user 1: two sessions (gap 301s splits), user 2: one session
+    for off in (0, 100, 200, 501 + 200, 501 + 300):
+        rows.append((1, base + dt.timedelta(seconds=off)))
+    for off in (0, 250, 500):
+        rows.append((2, base + dt.timedelta(seconds=off)))
+    rows.append((999, base + dt.timedelta(days=1)))  # watermark sentinel
+    d = str(tmp_path / "sess_src")
+    spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(1).write.parquet(d)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(d)
+    out = stream_session_counts(stream, "ts", gap="300 seconds", watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory").queryName("sess_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.table("sess_stream").collect()
+    }
+    expected = {
+        (1, base, 3),                                  # 0,100,200
+        (1, base + dt.timedelta(seconds=701), 2),      # 701, 801
+        (2, base, 3),                                  # 0,250,500 (each gap <= 300)
+    }
+    assert expected <= got
+    # nothing unexpected for the real users
+    assert {g for g in got if g[0] != 999} == expected

@@ -94,6 +94,35 @@ def stream_category_counts(
     )
 
 
+def stream_session_counts(
+    stream_df: DataFrame,
+    time_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    group_by=("user_id",),
+) -> DataFrame:
+    """Gap-based session windows on a stream (the streaming analog of
+    the batch lag-sessionization query): ``F.session_window`` merges
+    events within ``gap`` of each other into one growing window per
+    group; the watermark closes sessions once no in-gap event can still
+    arrive. Emits one row per closed session with its event count and
+    bounds. State per open session is a single (start, end, count)
+    triple in the state store — the same bounded-retention story as the
+    windowed counters above."""
+    gb = list(group_by)
+    return (
+        stream_df.withWatermark(time_col, watermark)
+        .groupBy(*gb, F.session_window(F.col(time_col), gap).alias("session"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *gb,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def stream_unique_violations(
     stream_df: DataFrame, c: Unique, timeout: str = "NoTimeout"
 ) -> DataFrame:
