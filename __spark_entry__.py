@@ -9,12 +9,13 @@ name). Floating aggregates are rounded on BOTH sides to dodge
 summation-order low-bit drift.
 
 Non-SQL-expressible entries (the xxhash64 production variants of
-MinHash/SimHash pairs, drift p-values, multimodal codec) intentionally
-have no oracle — the driver records a rows-only check, and each carries
-a pytest golden instead (planted-dup recall, published-value p-value
-pins, deterministic codec); each also has an md5-family sibling query
-that IS oracle-checked end-to-end (doc_minhash_dups,
-doc_simhash_pairs_md5), so the pipeline logic itself is hash-verified.
+MinHash/SimHash pairs, drift p-values, BPE encoding, multimodal codec)
+intentionally have no oracle — the driver records a rows-only check,
+and each carries a pytest golden instead (planted-dup recall,
+published-value p-value pins, textbook BPE merge sequence,
+deterministic codec); where a SQL-replayable sibling exists it IS
+oracle-checked end-to-end (doc_minhash_dups, doc_simhash_pairs_md5),
+so the pipeline logic itself is hash-verified.
 """
 
 from __future__ import annotations
@@ -647,6 +648,27 @@ def q_cv_drift_chi2_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_MERGES = 60
+
+
+def q_doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE token counts (rows-only by design: BPE's iterative
+    merge application is not SQL-expressible; the algorithm carries
+    pytest goldens instead — the hand-computable textbook merge
+    sequence and Spark==pure-python equality in test_tokenize).
+    Merges train deterministically from the same table: one
+    distributed word-frequency pass, driver loop over the
+    vocabulary-sized dict, Arrow-batched encoding."""
+    from xsd2json_spark.functions import tokenize as BP
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = BP.train_bpe(docs, "text", num_merges=BPE_MERGES)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(BP.bpe_tokens(F.col("text"), merges)).cast("long").alias("n_bpe_tokens"),
+    )
+
+
 def q_cv_drift_psi_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-checked end-to-end drift VERDICT with zero driver-side
     math: PSI has no p-value, so the statistic AND the conventional
@@ -854,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cv_drift_chi2_stat": q_cv_drift_chi2_stat,
         "cv_drift_psi_stat": q_cv_drift_psi_stat,
         "doc_top_terms": q_doc_top_terms,
+        "doc_bpe_token_stats": q_doc_bpe_token_stats,
         "cv_drift_ks_stat": q_cv_drift_ks_stat,
         "cv_drift_ks_by_stat": q_cv_drift_ks_by_stat,
         "cv_drift_chi2_by_stat": q_cv_drift_chi2_by_stat,
