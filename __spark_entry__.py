@@ -811,6 +811,26 @@ def q_cv_resume_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_media_video_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked multimodal PLUMBING: video frame sampling's
+    fan-out and frame-center timestamps are pure arithmetic over the
+    deterministic synth_media table, so DuckDB replays the entire
+    mapInPandas output contract (4 rows per video at
+    duration*(2i+1)/8, constant feature_dim) — the codec stub stays
+    non-oracle (media_image_features), but the Arrow pipeline's shape
+    is hash-verified end-to-end."""
+    from xsd2json_spark.functions import multimodal as M
+
+    media = M.synth_media(spark, n_rows=300)
+    vf = M.video_frame_features(media, n_frames=4)
+    return vf.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("ts_ms").cast("long").alias("ts_ms"),
+        F.size("feature").cast("long").alias("feature_dim"),
+    )
+
+
 def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing demo (no oracle): binary media table ->
     Arrow mapInPandas feature extraction (codec stubbed; deterministic)."""
@@ -883,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cv_drift_by_lang": q_cv_drift_by_lang,
         "cv_resume_lineage": q_cv_resume_lineage,
         "media_image_features": q_media_image_features,
+        "media_video_frame_index": q_media_video_frame_index,
     }
 
 
@@ -1459,6 +1480,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT scenario, round(psi, 6) AS psi, CAST(n_cats AS BIGINT) AS n_cats,
                    psi >= 0.25 AS action, psi >= 0.1 AS watch
             FROM agg
+        """,
+        "media_video_frame_index": """
+            WITH m AS (
+                SELECT i AS media_id,
+                       (['image', 'audio', 'video'])[(i % 3) + 1] AS kind,
+                       i * 33 AS duration_ms
+                FROM (SELECT unnest(range(300)) AS i)
+            ),
+            f AS (SELECT unnest(range(4)) AS frame_idx)
+            SELECT CAST(media_id AS BIGINT) AS media_id,
+                   CAST(frame_idx AS BIGINT) AS frame_idx,
+                   CAST(duration_ms * (2 * frame_idx + 1) // 8 AS BIGINT) AS ts_ms,
+                   CAST(32 AS BIGINT) AS feature_dim
+            FROM m CROSS JOIN f WHERE kind = 'video'
         """,
         "doc_top_terms": r"""
             WITH toks AS (

@@ -137,3 +137,101 @@ def synth_media(spark, n_rows: int = 200, seed: int = 42) -> DataFrame:
         (F.col("id") % 480 + 16).cast("int").alias("height"),
         (F.col("id") * 33).cast("long").alias("duration_ms"),
     )
+
+
+AUDIO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("start_ms", LongType()),
+        StructField("rms", FloatType()),
+        StructField("zcr", FloatType()),
+    ]
+)
+
+#: stub sample rate for the fake PCM decode (real: from the container)
+AUDIO_SR = 8000
+
+
+def _decode_audio_bytes(payload: bytes, duration_ms: int, strict: bool = False) -> np.ndarray:
+    """STUB codec: payload bytes seed a deterministic fake PCM waveform
+    of the declared duration (float32, AUDIO_SR Hz). The real decoder
+    (ffmpeg/librosa — not in this container) drops in here."""
+    if strict:
+        raise NotImplementedError("strict mode: no audio codec selected")
+    seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little") & 0x7FFFFFFF
+    n = max(1, int(duration_ms) * AUDIO_SR // 1000)
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal(min(n, AUDIO_SR * 30)).astype(np.float32)  # cap 30 s
+
+
+def audio_frame_features(media: DataFrame, frame_ms: int = 250, strict: bool = False) -> DataFrame:
+    """Arrow-batched audio framing: decode (stubbed) -> non-overlapping
+    frame_ms windows -> per-frame RMS energy + zero-crossing rate.
+    One input row fans out to O(duration/frame_ms) feature rows INSIDE
+    the Arrow batch (no explode shuffle); the scan is pruned to audio
+    rows and (media_id, payload, duration_ms) before any Python."""
+    frame_n = max(1, AUDIO_SR * frame_ms // 1000)
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "start_ms": [], "rms": [], "zcr": []}
+            for mid, p, dur in zip(pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
+                wave = _decode_audio_bytes(
+                    p if isinstance(p, (bytes, bytearray)) else bytes(p), int(dur), strict
+                )
+                n_frames = max(1, len(wave) // frame_n)
+                for i in range(n_frames):
+                    w = wave[i * frame_n : (i + 1) * frame_n]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["start_ms"].append(i * frame_ms)
+                    out["rms"].append(float(np.sqrt((w.astype(np.float64) ** 2).mean())))
+                    out["zcr"].append(float((np.diff(np.signbit(w)) != 0).mean()) if len(w) > 1 else 0.0)
+            yield pd.DataFrame(out)
+
+    pruned = media.filter(F.col("kind") == "audio").select("media_id", "payload", "duration_ms")
+    return pruned.mapInPandas(_extract, schema=AUDIO_FRAME_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def _decode_video_frame(payload: bytes, ts_ms: int, strict: bool = False) -> np.ndarray:
+    """STUB codec: (payload, timestamp) seed a deterministic fake frame
+    thumbnail feature — the real ffmpeg seek+decode drops in here."""
+    if strict:
+        raise NotImplementedError("strict mode: no video codec selected")
+    seed = (int.from_bytes(payload[:8].ljust(8, b"\0"), "little") ^ (ts_ms * 2654435761)) & 0x7FFFFFFF
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal(FEATURE_DIM).astype(np.float32)
+
+
+def video_frame_features(media: DataFrame, n_frames: int = 4, strict: bool = False) -> DataFrame:
+    """Uniform frame sampling: each video row emits n_frames feature
+    rows at evenly spaced timestamps across its duration. Fan-out
+    happens inside the Arrow batch (no explode shuffle); scan pruned to
+    video rows and (media_id, payload, duration_ms)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "ts_ms": [], "feature": []}
+            for mid, p, dur in zip(pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
+                payload = p if isinstance(p, (bytes, bytearray)) else bytes(p)
+                for i in range(n_frames):
+                    ts = int(dur) * (2 * i + 1) // (2 * n_frames)  # frame-center sampling
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(ts)
+                    out["feature"].append(_decode_video_frame(payload, ts, strict).tolist())
+            yield pd.DataFrame(out)
+
+    pruned = media.filter(F.col("kind") == "video").select("media_id", "payload", "duration_ms")
+    return pruned.mapInPandas(_extract, schema=VIDEO_FRAME_SCHEMA)
