@@ -648,6 +648,22 @@ def q_cv_drift_chi2_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cv_quantile_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked quantile constraint: per-lang p90 of n_chars with
+    max=470 — the engine's exact F.percentile uses the same linear
+    interpolation as DuckDB's quantile_cont, so the violation rows
+    (including the rounded statistic in detail) replay exactly. The
+    approx=True GK-sketch path is the 100 TB variant (test-covered)."""
+    from xsd2json_spark.spec.constraints import Quantile
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    )
+    c = Quantile(id="p90_nchars", column="n_chars", p=0.9, max=470.0, group_by=["lang"])
+    eng = ValidationEngine(spark, spec_from_dict(DOC_SPEC))
+    return eng.quantile_violations(docs, c).select("lang", "constraint_id", "detail")
+
+
 BPE_MERGES = 60
 
 
@@ -894,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cv_cube_drilldown": q_cv_cube_drilldown,
         "cv_drift_chi2": q_cv_drift_chi2,
         "cv_drift_chi2_stat": q_cv_drift_chi2_stat,
+        "cv_quantile_violations": q_cv_quantile_violations,
         "cv_drift_psi_stat": q_cv_drift_psi_stat,
         "doc_top_terms": q_doc_top_terms,
         "doc_bpe_token_stats": q_doc_bpe_token_stats,
@@ -1447,6 +1464,16 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(pow(o - n * b * 1.0 / bt, 2) / (n * b * 1.0 / bt)), 6) AS statistic,
                    CAST(count(*) - 1 AS BIGINT) AS dof
             FROM j GROUP BY scenario
+        """,
+        "cv_quantile_violations": """
+            SELECT lang, 'p90_nchars' AS constraint_id,
+                   'q0.9=' || CAST(round(q, 6) AS VARCHAR) AS detail
+            FROM (
+                SELECT lang, quantile_cont(CAST(n_chars AS DOUBLE), 0.9) AS q
+                FROM documents
+                WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+                GROUP BY lang
+            ) WHERE q > 470.0
         """,
         "cv_drift_psi_stat": """
             WITH base AS (

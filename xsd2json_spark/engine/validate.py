@@ -45,6 +45,7 @@ from xsd2json_spark.spec.constraints import (
     Cardinality,
     Drift,
     ForeignKey,
+    Quantile,
     Spec,
     Unique,
 )
@@ -354,6 +355,35 @@ class ValidationEngine:
             F.concat(F.lit("count="), F.col("n").cast("string")).alias("detail"),
         )
 
+    def quantile_violations(self, df: DataFrame, c: Quantile) -> DataFrame:
+        """Out-of-bounds p-th percentile, one violation row per
+        offending group (or one global row). Exact F.percentile by
+        default — a single sort-based agg whose linear interpolation
+        matches DuckDB's quantile_cont (oracle-able); approx=True uses
+        percentile_approx (GK sketch, mergeable, memory-bounded) for
+        the 100 TB path."""
+        value = (F.expr(c.expr) if c.expr else F.col(c.column)).cast("double")
+        src = df.filter(value.isNotNull())
+        q = (
+            F.percentile_approx(value, F.lit(c.p), F.lit(c.accuracy))
+            if c.approx
+            else F.percentile(value, F.lit(c.p))
+        ).alias("__q")
+        gb = list(c.group_by)
+        agg = src.groupBy(*gb).agg(q) if gb else src.agg(q)
+        cond = F.lit(False)
+        if c.min is not None:
+            cond = cond | (F.col("__q") < F.lit(float(c.min)))
+        if c.max is not None:
+            cond = cond | (F.col("__q") > F.lit(float(c.max)))
+        return agg.filter(cond).select(
+            *gb,
+            F.lit(c.id).alias("constraint_id"),
+            F.concat(
+                F.lit(f"q{c.p}="), F.round(F.col("__q"), 6).cast("string")
+            ).alias("detail"),
+        )
+
     # ------------------------------------------------------------------
     # full run
     # ------------------------------------------------------------------
@@ -385,6 +415,8 @@ class ValidationEngine:
                 v = self.fk_violations(df, c)
             elif isinstance(c, Cardinality):
                 v = self.cardinality_violations(df, c)
+            elif isinstance(c, Quantile):
+                v = self.quantile_violations(df, c)
             elif isinstance(c, Drift):
                 from xsd2json_spark.engine.drift import drift_verdict
 
@@ -462,6 +494,8 @@ class ValidationEngine:
                 v = self.fk_violations(df, c)
             elif isinstance(c, Cardinality):
                 v = self.cardinality_violations(df, c)
+            elif isinstance(c, Quantile):
+                v = self.quantile_violations(df, c)
             elif isinstance(c, Drift):
                 from xsd2json_spark.engine.drift import drift_verdict
 

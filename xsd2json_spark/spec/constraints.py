@@ -270,6 +270,33 @@ class Cardinality(Constraint):
 
 
 @dataclass(frozen=True)
+class Quantile(Constraint):
+    """p-th percentile bounds on a numeric column/expr — the north
+    star's quantile sketch promoted into the verdict path: passes iff
+    quantile_p lies in [min, max]. Exact percentile by default (linear
+    interpolation, same formula as DuckDB's quantile_cont, which makes
+    the check oracle-able); ``approx=True`` switches to
+    percentile_approx (GK sketch) for the memory-bounded scale path.
+    Optional ``group_by``: one check row per group."""
+
+    column: str = ""
+    p: float = 0.5
+    min: Optional[float] = None
+    max: Optional[float] = None
+    approx: bool = False
+    accuracy: int = 10000
+    group_by: Sequence[str] = ()
+    expr: Optional[str] = None
+
+    def __post_init__(self):
+        object.__setattr__(self, "group_by", tuple(self.group_by))
+        if not (0.0 <= self.p <= 1.0):
+            raise SpecError(f"quantile {self.id}: p={self.p} outside [0, 1]")
+        if self.min is None and self.max is None:
+            raise SpecError(f"quantile {self.id}: no min or max bound")
+
+
+@dataclass(frozen=True)
 class Drift(Constraint):
     """Distribution drift vs a baseline snapshot (north_star extension):
     chi-square on categorical mix, two-sample KS on a numeric expr."""
@@ -299,7 +326,7 @@ class Unsupported(Constraint):
 
 
 ROW_LEVEL = (NotNull, Dtype, Range, Length, Pattern, Enum, Constant, AllOf, AnyOf)
-TABLE_LEVEL = (Unique, ForeignKey, Cardinality, Drift)
+TABLE_LEVEL = (Unique, ForeignKey, Cardinality, Quantile, Drift)
 
 
 # ---------------------------------------------------------------------------

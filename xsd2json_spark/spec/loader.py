@@ -54,6 +54,7 @@ from xsd2json_spark.spec.constraints import (
     Length,
     NotNull,
     Pattern,
+    Quantile,
     Range,
     Spec,
     SpecError,
@@ -121,6 +122,18 @@ def _mk(doc: Mapping, idx: int) -> Constraint:
             group_by=doc.get("group_by", ()),
             min=doc.get("min", 1),  # default minOccurs='1' (xsd2json.pl:1126-1146)
             max=doc.get("max"),  # default maxOccurs unbounded at group level
+        )
+    if kind == "quantile":
+        return Quantile(
+            id=cid,
+            column=col,
+            p=float(doc.get("p", 0.5)),
+            min=doc.get("min"),
+            max=doc.get("max"),
+            approx=bool(doc.get("approx", False)),
+            accuracy=int(doc.get("accuracy", 10000)),
+            group_by=doc.get("group_by", ()),
+            expr=doc.get("expr"),
         )
     if kind == "drift":
         return Drift(
