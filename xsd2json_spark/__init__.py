@@ -32,6 +32,7 @@ from xsd2json_spark.spec.constraints import (  # noqa: F401
     Length,
     NotNull,
     Pattern,
+    Quantile,
     Range,
     Spec,
     Unique,
