@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "cv_cube_drilldown",
     "cv_drift_chi2_stat",
     "cv_drift_psi_stat",
+    "cv_quantile_violations",
     "doc_top_terms",
     "doc_token_stats",
     "doc_fingerprint",
