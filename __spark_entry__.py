@@ -9,13 +9,16 @@ name). Floating aggregates are rounded on BOTH sides to dodge
 summation-order low-bit drift.
 
 Non-SQL-expressible entries (the xxhash64 production variants of
-MinHash/SimHash pairs, drift p-values, BPE encoding, multimodal codec)
-intentionally have no oracle — the driver records a rows-only check,
-and each carries a pytest golden instead (planted-dup recall,
-published-value p-value pins, textbook BPE merge sequence,
-deterministic codec); where a SQL-replayable sibling exists it IS
-oracle-checked end-to-end (doc_minhash_dups, doc_simhash_pairs_md5),
-so the pipeline logic itself is hash-verified.
+MinHash/SimHash pairs, BPE encoding, multimodal codec) intentionally
+have no oracle — the driver records a rows-only check, and each
+carries a pytest golden instead (planted-dup recall, textbook BPE
+merge sequence, deterministic codec); where a SQL-replayable sibling
+exists it IS oracle-checked end-to-end (doc_minhash_dups,
+doc_simhash_pairs_md5), so the pipeline logic itself is hash-verified.
+The drift verdicts (chi2/PSI) are fully oracle-checked since round 4 —
+pass/fail evaluates in-plan against a broadcast critical-value table
+that DuckDB replays as literals; only the p-value CONVERSION (chi2_sf,
+ks_pvalue) stays a driver-side utility, scipy-pinned in tests.
 """
 
 from __future__ import annotations
@@ -555,47 +558,73 @@ def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cv_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drift operator demo (no oracle — p-values need the incomplete
-    gamma function): chi-square of the lang mix against a baseline
-    snapshot built from the same table (self-drift => passes) AND
-    against a deliberately shifted mix (=> fails)."""
-    from xsd2json_spark.engine.drift import chi2_drift, make_categorical_baseline
-    from xsd2json_spark.spec.constraints import Drift
+    """ORACLE-checked (flipped round 4 — was a driver-side p-value demo):
+    end-to-end chi-square drift VERDICT fully in-plan via
+    drift_verdicts_over_counts — observed counts, expected counts, the
+    Pearson sum, and pass/fail (statistic <= chi2_crit(dof, alpha),
+    critical values broadcast as a tiny dof-indexed table) are all
+    distributed; DuckDB replays the crit table as VALUES literals.
+    Scenarios: self (statistic 0 => passes) and an en->zh shift (large
+    => fails)."""
+    from xsd2json_spark.engine.drift import (
+        drift_verdicts_over_counts,
+        make_categorical_baseline_df,
+    )
 
-    docs = _t(spark, sf_dir, "documents")
-    base = make_categorical_baseline(docs, "lang")
-    c = Drift(id="lang_drift", column="lang", test="chi2", baseline="b", alpha=0.01)
-    stat_same, p_same = chi2_drift(docs, c, base)
-    shifted = docs.withColumn("lang", F.when(F.col("lang") == "en", F.lit("zh")).otherwise(F.col("lang")))
-    stat_shift, p_shift = chi2_drift(shifted, c, base)
-    return spark.createDataFrame(
-        [("self", float(stat_same), float(p_same), bool(p_same >= 0.01)),
-         ("shifted", float(stat_shift), float(p_shift), bool(p_shift >= 0.01))],
-        schema="scenario string, statistic double, p_value double, passed boolean",
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    base = make_categorical_baseline_df(docs, "lang")
+    cur = docs.select(F.lit("self").alias("scenario"), "lang").unionAll(
+        docs.select(
+            F.lit("shift_en_zh").alias("scenario"),
+            F.when(F.col("lang") == "en", F.lit("zh")).otherwise(F.col("lang")).alias("lang"),
+        )
+    )
+    counts = cur.groupBy("scenario", "lang").agg(F.count(F.lit(1)).alias("n"))
+    out = drift_verdicts_over_counts(
+        counts, "lang", base, window_cols=("scenario",), alpha=0.01
+    )
+    return out.select(
+        "scenario",
+        F.round("statistic", 6).alias("statistic"),
+        F.col("dof").cast("long").alias("dof"),
+        "passed",
     )
 
 
 def q_cv_drift_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group drift demo (no oracle — p-values): per-lang chi-square
-    of the source mix vs a self-baseline (passes) and vs a mix where ONE
-    lang's sources are rewritten (only that lang fails)."""
-    from xsd2json_spark.engine.drift import chi2_drift_by, make_categorical_baseline_by
-    from xsd2json_spark.spec.constraints import Drift
-
-    docs = _t(spark, sf_dir, "documents")
-    base = make_categorical_baseline_by(docs, "source", ["lang"])
-    c = Drift(id="src_by_lang", column="source", test="chi2", baseline="b",
-              alpha=0.01, group_by=["lang"])
-    rows = []
-    for key, _stat, p in chi2_drift_by(docs, c, base):
-        rows.append(("self", key, bool(p >= 0.01)))
-    shifted = docs.withColumn(
-        "source",
-        F.when(F.col("lang") == "en", F.lit("srcX")).otherwise(F.col("source")),
+    """ORACLE-checked (flipped round 4 — was a driver-side p-value demo):
+    per-lang chi-square drift VERDICTS fully in-plan — source mix per
+    lang vs a per-lang baseline snapshot, pass/fail via the broadcast
+    chi2-critical-value table (drift_verdicts_over_counts with
+    group_by). Scenarios: self (all pass) and a mix where ONE lang's
+    sources are rewritten (only that lang fails)."""
+    from xsd2json_spark.engine.drift import (
+        drift_verdicts_over_counts,
+        make_categorical_baseline_df,
     )
-    for key, _stat, p in chi2_drift_by(shifted, c, base):
-        rows.append(("shift_en", key, bool(p >= 0.01)))
-    return spark.createDataFrame(rows, schema="scenario string, lang string, passed boolean")
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
+    base = make_categorical_baseline_df(docs, "source", ["lang"])
+    cur = docs.select(F.lit("self").alias("scenario"), "lang", "source").unionAll(
+        docs.select(
+            F.lit("shift_en").alias("scenario"),
+            "lang",
+            F.when(F.col("lang") == "en", F.lit("srcX")).otherwise(F.col("source")).alias("source"),
+        )
+    )
+    counts = cur.groupBy("scenario", "lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    out = drift_verdicts_over_counts(
+        counts, "source", base, group_by=("lang",), window_cols=("scenario",), alpha=0.01
+    )
+    return out.select(
+        "scenario",
+        "lang",
+        F.round("statistic", 6).alias("statistic"),
+        F.col("dof").cast("long").alias("dof"),
+        "passed",
+    )
 
 
 def q_cv_cube_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -652,14 +681,18 @@ def q_cv_quantile_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-checked quantile constraint: per-lang p90 of n_chars with
     max=470 — the engine's exact F.percentile uses the same linear
     interpolation as DuckDB's quantile_cont, so the violation rows
-    (including the rounded statistic in detail) replay exactly. The
-    approx=True GK-sketch path is the 100 TB variant (test-covered)."""
+    (including the rounded statistic in detail) replay exactly.
+    approx=False pins the exact path (the oracle configuration);
+    production specs leave approx=None, which auto-dispatches to the
+    mergeable GK sketch above QUANTILE_EXACT_MAX_BYTES (test-covered
+    agreement at these percentiles)."""
     from xsd2json_spark.spec.constraints import Quantile
 
     docs = _t(spark, sf_dir, "documents").filter(
         F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
     )
-    c = Quantile(id="p90_nchars", column="n_chars", p=0.9, max=470.0, group_by=["lang"])
+    c = Quantile(id="p90_nchars", column="n_chars", p=0.9, max=470.0,
+                 group_by=["lang"], approx=False)
     eng = ValidationEngine(spark, spec_from_dict(DOC_SPEC))
     return eng.quantile_violations(docs, c).select("lang", "constraint_id", "detail")
 
@@ -1043,6 +1076,104 @@ def _ivf_oracle() -> str:
     """
 
 
+def _chi2_crit_values(alpha: float = 0.01, max_dof: int = 128) -> str:
+    """The chi2-critical-value table as DuckDB VALUES literals — the
+    exact same pure-python chi2_crit doubles drift_verdicts_over_counts
+    broadcasts Spark-side, so the in-plan pass/fail verdict replays
+    bit-identically (repr round-trips doubles exactly; statistics sit
+    orders of magnitude away from the criticals, so no boundary risk)."""
+    from xsd2json_spark.engine.stats_math import chi2_crit
+
+    return ", ".join(f"({d}, {chi2_crit(d, alpha)!r})" for d in range(1, max_dof + 1))
+
+
+def _drift_verdict_oracle() -> str:
+    """DuckDB replay of q_cv_drift_chi2: spine-joined Pearson statistic
+    (same shape as cv_drift_chi2_stat) + the broadcast critical-value
+    verdict. The en->zh shift moves mass OFF the baseline spine, so the
+    novel category contributes via n only — matching the map-lookup
+    semantics of drift_verdicts_over_counts."""
+    return f"""
+        WITH base AS (
+            SELECT lang AS cat, count(*) AS b FROM documents
+            WHERE lang IS NOT NULL GROUP BY lang
+        ),
+        cur AS (
+            SELECT 'self' AS scenario, lang FROM documents WHERE lang IS NOT NULL
+            UNION ALL
+            SELECT 'shift_en_zh', CASE WHEN lang = 'en' THEN 'zh' ELSE lang END
+            FROM documents WHERE lang IS NOT NULL
+        ),
+        obs AS (SELECT scenario, lang AS cat, count(*) AS o FROM cur GROUP BY 1, 2),
+        n AS (SELECT scenario, sum(o) AS n FROM obs GROUP BY 1),
+        bt AS (SELECT sum(b) AS bt FROM base),
+        spine AS (
+            SELECT n.scenario, n.n, base.cat, base.b, bt.bt
+            FROM n CROSS JOIN base CROSS JOIN bt
+        ),
+        j AS (
+            SELECT s.*, coalesce(o.o, 0) AS o
+            FROM spine s LEFT JOIN obs o ON o.scenario = s.scenario AND o.cat = s.cat
+        ),
+        agg AS (
+            SELECT scenario,
+                   sum(pow(o - n * b * 1.0 / bt, 2) / (n * b * 1.0 / bt)) AS statistic,
+                   greatest(count(*) - 1, 1) AS dof
+            FROM j GROUP BY scenario
+        ),
+        crit(dof, crit) AS (VALUES {_chi2_crit_values()})
+        SELECT scenario, round(statistic, 6) AS statistic,
+               CAST(agg.dof AS BIGINT) AS dof,
+               statistic <= crit AS passed
+        FROM agg JOIN crit ON crit.dof = agg.dof
+    """
+
+
+def _drift_verdict_by_lang_oracle() -> str:
+    """DuckDB replay of q_cv_drift_by_lang: per-lang spine-joined
+    statistic vs the per-lang baseline + critical-value verdict. In the
+    shift_en scenario every en source moves to the novel 'srcX', so the
+    en spine reads all-zero observed and the statistic equals n — only
+    en fails."""
+    return f"""
+        WITH docs AS (
+            SELECT lang, source FROM documents
+            WHERE lang IS NOT NULL AND source IS NOT NULL
+        ),
+        base AS (SELECT lang, source AS cat, count(*) AS b FROM docs GROUP BY 1, 2),
+        bt AS (SELECT lang, sum(b) AS bt FROM base GROUP BY 1),
+        cur AS (
+            SELECT 'self' AS scenario, lang, source FROM docs
+            UNION ALL
+            SELECT 'shift_en', lang,
+                   CASE WHEN lang = 'en' THEN 'srcX' ELSE source END
+            FROM docs
+        ),
+        obs AS (SELECT scenario, lang, source AS cat, count(*) AS o FROM cur GROUP BY 1, 2, 3),
+        n AS (SELECT scenario, lang, sum(o) AS n FROM obs GROUP BY 1, 2),
+        spine AS (
+            SELECT n.scenario, n.lang, n.n, base.cat, base.b, bt.bt
+            FROM n JOIN base ON base.lang = n.lang JOIN bt ON bt.lang = n.lang
+        ),
+        j AS (
+            SELECT s.*, coalesce(o.o, 0) AS o
+            FROM spine s LEFT JOIN obs o
+              ON o.scenario = s.scenario AND o.lang = s.lang AND o.cat = s.cat
+        ),
+        agg AS (
+            SELECT scenario, lang,
+                   sum(pow(o - n * b * 1.0 / bt, 2) / (n * b * 1.0 / bt)) AS statistic,
+                   greatest(count(*) - 1, 1) AS dof
+            FROM j GROUP BY 1, 2
+        ),
+        crit(dof, crit) AS (VALUES {_chi2_crit_values()})
+        SELECT scenario, lang, round(statistic, 6) AS statistic,
+               CAST(agg.dof AS BIGINT) AS dof,
+               statistic <= crit AS passed
+        FROM agg JOIN crit ON crit.dof = agg.dof
+    """
+
+
 def _ks_stat_oracle() -> str:
     """DuckDB replay of the in-plan KS D statistic: the deterministic
     baseline grid + ECDF embed as literals; each ECDF term is an avg of
@@ -1267,6 +1398,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cv_drift_ks_stat": _ks_stat_oracle(),
         "cv_drift_ks_by_stat": _ks_by_stat_oracle(),
+        "cv_drift_chi2": _drift_verdict_oracle(),
+        "cv_drift_by_lang": _drift_verdict_by_lang_oracle(),
         "doc_langid_ngram": _langid_ngram_oracle(),
         "doc_minhash_dups": _minhash_oracle(),
         "doc_simhash_pairs_md5": _simhash_pairs_oracle(),
@@ -1467,7 +1600,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cv_quantile_violations": """
             SELECT lang, 'p90_nchars' AS constraint_id,
-                   'q0.9=' || CAST(round(q, 6) AS VARCHAR) AS detail
+                   'q0.9=' || CAST(CAST(round(q, 6) AS DECIMAL(38,6)) AS VARCHAR) AS detail
             FROM (
                 SELECT lang, quantile_cont(CAST(n_chars AS DOUBLE), 0.9) AS q
                 FROM documents

@@ -147,15 +147,26 @@ def main():
 
     vt = bench_validation_throughput(spark, n_rows=int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "2000000")))
 
+    # Per-sample detail goes to a sidecar file, NOT the printed line: the
+    # driver tail-captures stdout and a long line gets truncated into an
+    # unparseable artifact (BENCH_r03 lesson — "parsed": null).
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "samples_latest.json")
+    try:
+        os.makedirs(os.path.dirname(sidecar), exist_ok=True)
+        with open(sidecar, "w") as fh:
+            json.dump({"n_samples": n_samples, "query_samples": samples,
+                       "validation_throughput": vt}, fh, indent=1)
+    except OSError:
+        pass
+
     out = {
-        "metric": "headline query wall-clock (sum of per-query medians of "
-                  f"{n_samples} interleaved samples) + validated files/sec on 2M-row synthetic",
+        "metric": "headline query sec (median of "
+                  f"{n_samples} interleaved samples/query)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "query_samples": samples,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "validation_throughput": vt,
+        "files_per_sec": vt["files_per_sec"],
     }
     print(json.dumps(out))
 

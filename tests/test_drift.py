@@ -337,4 +337,37 @@ def test_psi_statistic_hand_computed(spark):
     expected_vanish = 0.5 * math.log(2.0) + (1e-6 - 0.5) * math.log(1e-6 / 0.5)
     assert abs(rows["vanish"]["psi"] - expected_vanish) < 1e-9
     assert rows["vanish"]["psi"] > 0.25  # well past the conventional action threshold
-    assert all(r["n_cats"] == 2 for r in rows.values())  # baseline spine, every scenario
+    assert all(r["n_cats"] == 2 for r in rows.values())  # union spine == baseline here
+
+
+def test_psi_novel_category_contributes_penalty(spark):
+    """A category observed but ABSENT from the baseline (novel-category
+    drift, PSI's primary use case) must contribute the eps-clipped
+    penalty, not silently drop: baseline 50/50 a/b, current 50 a / 50 c
+    -> b vanished (p_cur -> eps) and c is novel (p_base -> eps), each
+    adding ~0.5*ln(0.5/1e-6); the round-3 spine dropped c's term
+    entirely. Per-group: only the group WITH the novel category pays."""
+    import math
+
+    from xsd2json_spark.engine.drift import psi_statistic_df
+
+    base = spark.createDataFrame([("a", 50), ("b", 50)], "lang string, n long")
+    cur = spark.createDataFrame(
+        [("novel", "a")] * 50 + [("novel", "c")] * 50
+        + [("self", "a")] * 50 + [("self", "b")] * 50,
+        "scenario string, lang string",
+    )
+    rows = {r["scenario"]: r for r in psi_statistic_df(cur, "lang", base, by=["scenario"]).collect()}
+    eps = 1e-6
+    vanished_b = (eps - 0.5) * math.log(eps / 0.5)
+    novel_c = (0.5 - eps) * math.log(0.5 / eps)
+    assert abs(rows["novel"]["psi"] - (vanished_b + novel_c)) < 1e-9
+    assert rows["novel"]["n_cats"] == 3  # union spine: a, b, c
+    assert abs(rows["self"]["psi"]) < 1e-12
+    assert rows["self"]["n_cats"] == 2  # no novel cats in the self group
+
+    # global (by=None) path takes the crossJoin branch of the spine
+    g = psi_statistic_df(
+        cur.filter("scenario = 'novel'").select("lang"), "lang", base
+    ).collect()[0]
+    assert abs(g["psi"] - (vanished_b + novel_c)) < 1e-9 and g["n_cats"] == 3

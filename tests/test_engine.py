@@ -353,21 +353,74 @@ def test_quantile_constraint_bounds_and_groups(spark):
     eng = ValidationEngine(spark, spec)
 
     # global: median of a-group-only frame = 5.5 -> min=6 violates, min=5 passes
+    # (approx=False pins exact: a Python createDataFrame has no size
+    # stats, so approx=None would auto-pick the GK sketch here)
     a = df.filter("grp = 'a'")
-    c_fail = Quantile(id="med", column="x", p=0.5, min=6.0)
-    c_pass = Quantile(id="med", column="x", p=0.5, min=5.0)
+    c_fail = Quantile(id="med", column="x", p=0.5, min=6.0, approx=False)
+    c_pass = Quantile(id="med", column="x", p=0.5, min=5.0, approx=False)
     v_fail = eng.quantile_violations(a, c_fail).collect()
-    assert len(v_fail) == 1 and v_fail[0]["detail"] == "q0.5=5.5"
+    assert len(v_fail) == 1 and v_fail[0]["detail"] == "q0.5=5.500000"
     assert eng.quantile_violations(a, c_pass).collect() == []
 
     # per-group: only b's median (150) exceeds max=20
-    c_grp = Quantile(id="med_g", column="x", p=0.5, max=20.0, group_by=["grp"])
+    c_grp = Quantile(id="med_g", column="x", p=0.5, max=20.0, group_by=["grp"], approx=False)
     v = eng.quantile_violations(df, c_grp).collect()
-    assert [(r["grp"], r["detail"]) for r in v] == [("b", "q0.5=150.0")]
+    assert [(r["grp"], r["detail"]) for r in v] == [("b", "q0.5=150.000000")]
 
     # approx (GK sketch) path runs and flags the same group here
     c_apx = Quantile(id="med_a", column="x", p=0.5, max=20.0, group_by=["grp"], approx=True)
     assert {r["grp"] for r in eng.quantile_violations(df, c_apx).collect()} == {"b"}
+
+
+def test_quantile_approx_auto_dispatch(spark):
+    """approx=None (the new default) must resolve per-input: exact on a
+    provably-small input, the mergeable GK sketch once Catalyst's size
+    estimate crosses QUANTILE_EXACT_MAX_BYTES — resolution reads only
+    optimizer stats (no job runs on the trillion-row range)."""
+    from xsd2json_spark.engine.validate import (
+        QUANTILE_EXACT_MAX_BYTES,
+        _resolve_quantile_approx,
+    )
+
+    small = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    huge = spark.range(10**12).selectExpr("cast(id as double) as x")
+    nostats = spark.createDataFrame([(1.0,)], "x double")  # python-RDD source: no size stats
+    assert _resolve_quantile_approx(None, small) is False
+    assert _resolve_quantile_approx(None, huge) is True
+    assert _resolve_quantile_approx(None, nostats) is True  # unknown -> mergeable
+    assert _resolve_quantile_approx(False, huge) is False  # explicit pin wins
+    assert _resolve_quantile_approx(True, small) is True
+    assert QUANTILE_EXACT_MAX_BYTES > 0
+
+
+def test_quantile_exact_vs_gk_agreement(spark):
+    """The GK-sketch scale path must agree with the exact oracle path at
+    the oracle query's percentiles (p90 of n_chars per lang): same
+    violating groups, and per-group statistics within 2% (GK at
+    accuracy 10^4 over 500 rows returns an exact order statistic
+    adjacent to the interpolated exact value)."""
+    from xsd2json_spark import spec_from_dict
+    from xsd2json_spark.engine import ValidationEngine
+    from xsd2json_spark.spec.constraints import Quantile
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        "n_chars IS NOT NULL AND lang IS NOT NULL"
+    )
+    spec = spec_from_dict({"name": "q", "key_columns": ["doc_id"], "constraints": []})
+    eng = ValidationEngine(spark, spec)
+
+    def stats(approx):
+        c = Quantile(id="p90", column="n_chars", p=0.9, max=0.0,  # max=0 => every group violates
+                     group_by=["lang"], approx=approx)
+        return {
+            r["lang"]: float(r["detail"].split("=")[1])
+            for r in eng.quantile_violations(docs, c).collect()
+        }
+
+    exact, gk = stats(False), stats(True)
+    assert set(exact) == set(gk) and len(exact) > 0
+    for lang, q in exact.items():
+        assert abs(gk[lang] - q) <= 0.02 * q, (lang, q, gk[lang])
 
 
 def test_quantile_constraint_in_full_run(spark):

@@ -113,3 +113,155 @@ def test_audio_video_strict_mode_raises(spark):
         M.audio_frame_features(media, strict=True).collect()
     with _pytest.raises(Exception):
         M.video_frame_features(media, strict=True).collect()
+
+
+def _make_ppm(w, h, seed=3, gray=False, comment=False):
+    """Synthesize a valid binary PPM (P6) / PGM (P5) payload."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    ch = 1 if gray else 3
+    pixels = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+    magic = b"P5" if gray else b"P6"
+    header = magic + b"\n"
+    if comment:
+        header += b"# synthesized by tests\n"
+    header += b"%d %d\n255\n" % (w, h)
+    return header + pixels.tobytes(), pixels
+
+
+def _make_bmp(w, h, seed=4):
+    """Synthesize a valid 24-bit uncompressed bottom-up BMP payload."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    bgr = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    pix = rows[::-1].tobytes()  # bottom-up row order
+    data_off = 14 + 40
+    header = (
+        b"BM" + (data_off + len(pix)).to_bytes(4, "little") + b"\0\0\0\0"
+        + data_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True) + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(pix).to_bytes(4, "little")
+        + b"\0" * 16
+    )
+    return header + pix, bgr
+
+
+def _make_wav(sr, samples, sampwidth=2, channels=1):
+    """Synthesize a valid RIFF/WAVE PCM payload via stdlib wave."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(sampwidth)
+        wf.setframerate(sr)
+        if sampwidth == 2:
+            wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+        else:
+            wf.writeframes(np.asarray(samples, dtype=np.uint8).tobytes())
+    return buf.getvalue()
+
+
+def _media_row(spark, payload, kind="image", dur=0):
+    return spark.createDataFrame(
+        [(1, kind, "application/x-test", bytearray(payload), 0, 0, dur)],
+        "media_id long, kind string, mime string, payload binary, "
+        "width int, height int, duration_ms long",
+    )
+
+
+def test_ppm_codec_real_decode(spark):
+    """The numpy-only PPM decoder REALLY decodes: a constant-color P6
+    image yields the constant normalized feature; a random image's
+    feature equals the hand-computed 4x8 block means of the ITU-601
+    luma. Header comments are honored. No skip — this real-codec branch
+    executes in this container."""
+    import numpy as np
+
+    # constant-color check (bit-exact expectation)
+    w, h = 32, 16
+    const = np.full((h, w, 3), 100, dtype=np.uint8)
+    payload = b"P6\n%d %d\n255\n" % (w, h) + const.tobytes()
+    [row] = M.image_features(_media_row(spark, payload), codec="ppm").collect()
+    expect = (100 * 0.299 + 100 * 0.587 + 100 * 0.114) / 255.0
+    assert len(row["feature"]) == M.FEATURE_DIM
+    assert all(abs(x - expect) < 1e-6 for x in row["feature"])
+
+    # random image + comment header: matches the hand-computed block means
+    payload, pixels = _make_ppm(24, 12, comment=True)
+    [row] = M.image_features(_media_row(spark, payload), codec="ppm").collect()
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    got = np.array(row["feature"]).reshape(4, 8)
+    for i in range(4):
+        for j in range(8):
+            block = gray[i * 3:(i + 1) * 3, j * 3:(j + 1) * 3].mean() / 255.0
+            assert abs(got[i, j] - block) < 1e-6
+
+
+def test_pgm_and_tiny_image_decode(spark):
+    """P5 grayscale decodes; an image smaller than the 4x8 feature grid
+    takes the nearest-neighbor upsample branch and still yields
+    FEATURE_DIM values."""
+    payload, _ = _make_ppm(3, 2, gray=True)
+    [row] = M.image_features(_media_row(spark, payload), codec="ppm").collect()
+    assert len(row["feature"]) == M.FEATURE_DIM
+    assert all(0.0 <= x <= 1.0 for x in row["feature"])
+
+
+def test_bmp_codec_real_decode(spark):
+    """The numpy-only BMP decoder handles the 4-byte row padding and
+    bottom-up row order: feature equals the hand-computed block means
+    over the TOP-DOWN luma image."""
+    import numpy as np
+
+    payload, bgr = _make_bmp(22, 11)  # stride 68 != 66 -> padding exercised
+    [row] = M.image_features(_media_row(spark, payload), codec="bmp").collect()
+    gray = bgr.astype(np.float64) @ np.array([0.114, 0.587, 0.299])
+    got = np.array(row["feature"]).reshape(4, 8)
+    ri = (np.arange(5) * 11) // 4
+    ci = (np.arange(9) * 22) // 8
+    for i in range(4):
+        for j in range(8):
+            block = gray[ri[i]:ri[i + 1], ci[j]:ci[j + 1]].mean() / 255.0
+            assert abs(got[i, j] - block) < 1e-6
+
+
+def test_wav_codec_real_decode(spark):
+    """The stdlib-wave codec REALLY decodes PCM: a 16-bit square wave at
+    a known amplitude gives frames with rms = amplitude and the exact
+    zero-crossing rate; the frame size follows the file's OWN sample
+    rate (16 kHz here, not the stub's 8 kHz)."""
+    import numpy as np
+
+    sr = 16000
+    amp = 8192  # -> 0.25 after /32768 normalization
+    n = sr  # 1 s
+    square = amp * np.where(np.arange(n) // 8 % 2 == 0, 1, -1)
+    payload = _make_wav(sr, square)
+    media = _media_row(spark, payload, kind="audio", dur=1000)
+    rows = M.audio_frame_features(media, frame_ms=250, codec="wav").collect()
+    assert len(rows) == 4  # 1 s at the FILE's sr -> four 250 ms frames
+    for r in rows:
+        assert abs(r["rms"] - 0.25) < 1e-6
+        # sign flips every 8 samples -> zcr = (frame_n/8) / (frame_n-1)
+        frame_n = sr * 250 // 1000
+        assert abs(r["zcr"] - (frame_n / 8) / (frame_n - 1)) < 1e-3
+
+    # stereo downmix: L = +amp, R = -amp -> silence
+    stereo = np.empty(2 * n, dtype=np.int64)
+    stereo[0::2], stereo[1::2] = amp, -amp
+    rows = M.audio_frame_features(
+        _media_row(spark, _make_wav(sr, stereo, channels=2), kind="audio", dur=1000),
+        frame_ms=250, codec="wav",
+    ).collect()
+    assert all(abs(r["rms"]) < 1e-6 for r in rows)

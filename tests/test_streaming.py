@@ -199,6 +199,57 @@ def test_stream_unique_violations_cross_batch(spark, tmp_path):
     assert all(r["constraint_id"] == "uq" for r in rows)
 
 
+def test_stream_unique_violations_ttl_expires_idle_keys(spark, tmp_path):
+    """ttl arms ProcessingTimeTimeout: with a tiny TTL and a wall-clock
+    pause between micro-batches, an idle key's state is removed, so a
+    later duplicate counts as a fresh first occurrence (dup_count for
+    r1 stays 1 from batch 1 — batch 3's second r1 pair starts over).
+    Without the fix the ttl parameter silently never armed a timeout
+    and state grew forever."""
+    import time as _time
+
+    from xsd2json_spark.spec.constraints import Unique
+    from xsd2json_spark.streaming.validate_stream import stream_unique_violations
+
+    d = str(tmp_path / "ttlsrc")
+    schema = "repo string, path string, commit string"
+    c = Unique(id="uq", columns=["repo", "path", "commit"])
+    spark.createDataFrame(
+        [("r1", "a", "c1"), ("r1", "a", "c1")], schema
+    ).coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = stream_unique_violations(stream, c, ttl="1 milliseconds")
+    q = (
+        out.writeStream.format("memory").queryName("uniq_ttl")
+        .outputMode("append").trigger(processingTime="1 seconds").start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while spark.table("uniq_ttl").count() < 1 and _time.time() < deadline:
+            _time.sleep(0.5)
+        _time.sleep(3)  # > ttl: r1's state must expire between batches
+        spark.createDataFrame(
+            [("r1", "a", "c1")], schema
+        ).coalesce(1).write.mode("append").parquet(d)
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            rows = spark.table("uniq_ttl").collect()
+            if rows:
+                break
+            _time.sleep(0.5)
+        _time.sleep(5)  # allow the post-expiry batch to process
+        rows = spark.table("uniq_ttl").collect()
+    finally:
+        q.stop()
+    # batch 1 reported the within-batch duplicate; the post-TTL arrival
+    # found NO surviving state, so it is a first occurrence -> no new row
+    assert [(r["repo"], r["dup_count"], r["total_seen"]) for r in rows] == [("r1", 1, 2)]
+
+
 def test_stream_session_counts_match_batch_gaps(spark, tmp_path):
     """Session windows on a stream must close to EXACTLY the batch
     gaps-and-islands sessions: deterministic per-user event times with

@@ -147,10 +147,21 @@ def main():
     # which at 32 threads measured as low as 0.70 on this shared VM.
     lo, hi = 8, 32
     for a in sys.argv[1:]:
-        if a.startswith("--levels"):
-            lv = a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1]
-            lo, hi = (int(x) for x in lv.split(","))
+        if a == "--levels" or a.startswith("--levels="):
+            if "=" in a:
+                lv = a.split("=", 1)[1]
+            else:
+                idx = sys.argv.index(a)
+                if idx + 1 >= len(sys.argv):
+                    sys.exit("usage: --levels LO,HI (e.g. --levels 4,16)")
+                lv = sys.argv[idx + 1]
+            try:
+                lo, hi = (int(x) for x in lv.split(","))
+            except ValueError:
+                sys.exit(f"usage: --levels LO,HI (got {lv!r})")
             args = [x for x in args if x != lv]
+        elif a.startswith("--levels"):
+            sys.exit(f"unknown flag {a!r}; use --levels LO,HI or --levels=LO,HI")
     n_rows = int(args[0]) if args else 16_000_000
     path = f"/tmp/bench_files_{n_rows}.parquet"
     if not os.path.exists(path):

@@ -161,16 +161,17 @@ def psi_statistic_df(
     df: DataFrame, column: str, baseline_df: DataFrame, by=None, eps: float = 1e-6
 ) -> DataFrame:
     """Population Stability Index, fully in-plan (same spine shape as
-    chi2_statistic_df): psi = sum_cat (p_cur - p_base) * ln(p_cur /
-    p_base) over the baseline's category spine, proportions clipped to
-    ``eps`` so empty cells contribute a finite, deterministic penalty.
-    PSI has no p-value — the conventional action thresholds are 0.1
-    (watch) / 0.25 (act), applied directly to the statistic, which
-    makes the whole check oracle-able (no driver-side math at all,
-    unlike chi2/KS where only the p-value stays on the driver).
-    Same caveat as chi2_statistic_df: observed categories must be a
-    subset of the baseline's (pre-bucket novel categories into OTHER).
-    Returns (by..., psi, n_cats)."""
+    chi2_statistic_df, widened to the UNION of baseline and observed
+    categories): psi = sum_cat (p_cur - p_base) * ln(p_cur / p_base),
+    proportions clipped to ``eps`` so empty cells — including NOVEL
+    observed categories absent from the baseline, a primary PSI use
+    case — contribute the finite eps-clipped penalty instead of being
+    silently dropped. PSI has no p-value — the conventional action
+    thresholds are 0.1 (watch) / 0.25 (act), applied directly to the
+    statistic, which makes the whole check oracle-able (no driver-side
+    math at all, unlike chi2/KS where only the p-value stays on the
+    driver). Returns (by..., psi, n_cats); n_cats counts the union
+    spine per group."""
     gb = list(by or [])
     obs = (
         df.filter(F.col(column).isNotNull())
@@ -182,9 +183,23 @@ def psi_statistic_df(
     )
     bt = b.agg(F.sum("__b").alias("__bt"))
     n = obs.groupBy(*gb).agg(F.sum("__o").alias("__n"))
-    spine = n.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(bt))
-    j = spine.join(obs, gb + ["__cat"], "left").withColumn(
-        "__o", F.coalesce(F.col("__o"), F.lit(0))
+    # union spine: every baseline category for every group, PLUS each
+    # group's observed-only (novel) categories — novel cells read
+    # __b = 0 and get the eps clip below
+    cats = (
+        n.select(*gb).crossJoin(F.broadcast(b.select("__cat")))
+        .unionByName(obs.select(*gb, "__cat"))
+        .dropDuplicates(gb + ["__cat"])
+    )
+    spine = (cats.join(n, gb) if gb else cats.crossJoin(n)).join(
+        F.broadcast(b), "__cat", "left"
+    ).crossJoin(F.broadcast(bt))
+    j = spine.join(obs, gb + ["__cat"], "left").select(
+        *gb,
+        F.coalesce(F.col("__o"), F.lit(0)).alias("__o"),
+        F.coalesce(F.col("__b"), F.lit(0)).alias("__b"),
+        "__n",
+        "__bt",
     )
     p_cur = F.greatest(F.col("__o") / F.col("__n"), F.lit(eps))
     p_base = F.greatest(F.col("__b") / F.col("__bt"), F.lit(eps))

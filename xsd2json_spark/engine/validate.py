@@ -53,6 +53,29 @@ from xsd2json_spark.spec.constraints import (
 VERDICT_COLUMNS = ["partition_key", "constraint_id", "violation_count", "evaluated_count", "passed"]
 VIOLATION_EXTRA = ["constraint_id", "detail"]
 
+#: optimizer size estimate above which Quantile(approx=None) switches
+#: from the exact sort-based F.percentile to the mergeable GK sketch
+#: (256 MiB: a single executor comfortably sorts that; beyond it the
+#: exact path's per-group full materialization stops being safe)
+QUANTILE_EXACT_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _resolve_quantile_approx(approx: Optional[bool], src: DataFrame) -> bool:
+    """Three-valued Quantile.approx -> concrete plan choice. None =
+    auto: exact only when Catalyst's sizeInBytes estimate for the
+    (filtered) input is provably small; a missing/huge estimate picks
+    the GK sketch, so UNKNOWN defaults to the scale-safe mergeable
+    aggregate (the EMB_ARROW_THRESHOLD auto-dispatch precedent)."""
+    if approx is not None:
+        return approx
+    try:
+        # py4j maps the BigInt to a Python int; str() also covers a raw
+        # JavaObject should that mapping ever change
+        size = int(str(src._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return True
+    return size > QUANTILE_EXACT_MAX_BYTES
+
 
 @dataclass
 class EngineConfig:
@@ -357,16 +380,19 @@ class ValidationEngine:
 
     def quantile_violations(self, df: DataFrame, c: Quantile) -> DataFrame:
         """Out-of-bounds p-th percentile, one violation row per
-        offending group (or one global row). Exact F.percentile by
-        default — a single sort-based agg whose linear interpolation
-        matches DuckDB's quantile_cont (oracle-able); approx=True uses
-        percentile_approx (GK sketch, mergeable, memory-bounded) for
-        the 100 TB path."""
+        offending group (or one global row). approx=None (the default)
+        auto-dispatches on the optimizer's size estimate
+        (_resolve_quantile_approx): exact F.percentile — a sort-based
+        agg whose linear interpolation matches DuckDB's quantile_cont
+        (oracle-able) — only when the input is estimated small;
+        percentile_approx (GK sketch, mergeable, memory-bounded)
+        otherwise and whenever the estimate is unavailable, so the
+        100 TB path never lands on a non-mergeable sort by accident."""
         value = (F.expr(c.expr) if c.expr else F.col(c.column)).cast("double")
         src = df.filter(value.isNotNull())
         q = (
             F.percentile_approx(value, F.lit(c.p), F.lit(c.accuracy))
-            if c.approx
+            if _resolve_quantile_approx(c.approx, src)
             else F.percentile(value, F.lit(c.p))
         ).alias("__q")
         gb = list(c.group_by)
@@ -376,11 +402,16 @@ class ValidationEngine:
             cond = cond | (F.col("__q") < F.lit(float(c.min)))
         if c.max is not None:
             cond = cond | (F.col("__q") > F.lit(float(c.max)))
+        # decimal(38,6) pins the textual statistic to fixed-point: a raw
+        # double-to-string cast goes scientific above 1e7 in Spark
+        # ('1.0E7') but not in DuckDB ('10000000.0'), which would break
+        # the oracle's string compare on large-valued columns
         return agg.filter(cond).select(
             *gb,
             F.lit(c.id).alias("constraint_id"),
             F.concat(
-                F.lit(f"q{c.p}="), F.round(F.col("__q"), 6).cast("string")
+                F.lit(f"q{c.p}="),
+                F.round(F.col("__q"), 6).cast("decimal(38,6)").cast("string"),
             ).alias("detail"),
         )
 

@@ -256,6 +256,16 @@ def minhash_lsh_pairs(
     )
     if cache_base:
         base = base.persist()
+    return _minhash_pairs_over_base(base, bands, rows, threshold, hashed_bands)
+
+
+def _minhash_pairs_over_base(
+    base: DataFrame, bands: int, rows: int, threshold: float, hashed_bands: bool
+) -> DataFrame:
+    """Band self-join + exact-Jaccard verify over a (__id, __sh, __sig)
+    base — shared by the in-memory (minhash_lsh_pairs) and persisted
+    (minhash_pairs_from_base) paths, so the warehouse route runs the
+    byte-identical plan over a parquet base instead of a cached one."""
     banded = base.select(
         "__id", F.explode(band_keys("__sig", bands, rows, hashed_bands)).alias("__bk")
     )
@@ -274,6 +284,69 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+#: sidecar filename for the persisted MinHash base (same Hadoop-FS
+#: mechanism as similarity.META_FILE, so s3a://-or-hdfs:// paths work)
+MINHASH_META_FILE = "_minhash_meta.json"
+
+
+def build_minhash_base(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    num_hashes: int = 64,
+    family: str = "xxhash64",
+) -> dict:
+    """Materialize the (__id, __sh, __sig) MinHash base as a parquet
+    table — the warehouse-scale alternative to minhash_lsh_pairs'
+    cache_base=True, which persists the corpus' shingle sets in
+    executor memory/disk (fine at bench scale, not at 100 TB). Build
+    cost is ONE pass (shingle + signature + write); the shingle/hash
+    parameters ride a sidecar so the pair job can't silently mismatch
+    them. Mirrors similarity.build_ann_index."""
+    import json
+
+    from xsd2json_spark.sources import fsutil
+
+    meta = {
+        "id_col": id_col, "text_col": text_col, "k": k,
+        "num_hashes": num_hashes, "family": family,
+    }
+    base = shingled(df, id_col, text_col, k).withColumn(
+        "__sig", minhash_signature("__sh", num_hashes, family)
+    )
+    base.write.mode("overwrite").parquet(path)
+    fsutil.write_text(
+        df.sparkSession, path.rstrip("/") + "/" + MINHASH_META_FILE, json.dumps(meta)
+    )
+    return meta
+
+
+def minhash_pairs_from_base(
+    spark,
+    path: str,
+    bands: int = 16,
+    threshold: float = 0.7,
+    hashed_bands: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs from a persisted MinHash base
+    (build_minhash_base): identical banding + verify plan as
+    minhash_lsh_pairs, reading the parquet base instead of holding
+    shingles in executor memory — the 100 TB path. num_hashes comes
+    from the sidecar; bands must divide it."""
+    import json
+
+    from xsd2json_spark.sources import fsutil
+
+    meta = json.loads(fsutil.read_text(spark, path.rstrip("/") + "/" + MINHASH_META_FILE))
+    num_hashes = int(meta["num_hashes"])
+    if num_hashes % bands:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    base = spark.read.parquet(path)
+    return _minhash_pairs_over_base(base, bands, num_hashes // bands, threshold, hashed_bands)
 
 
 def simhash(col: Column, num_bits: int = 64) -> Column:
@@ -501,7 +574,11 @@ def _cosine_arrow(a_col: Column, b_col: Column, dim: int) -> Column:
         out = np.divide(num, den, out=np.zeros_like(num), where=den > 0)
         return pd.Series(out)
 
-    return _cos(a_col, b_col)
+    # asNondeterministic blocks Catalyst from pushing the downstream
+    # cos_sim >= threshold filter through the projection, which would
+    # duplicate the ArrowEvalPython node and run the verify twice per
+    # candidate pair (it IS deterministic; the mark is a pushdown fence).
+    return _cos.asNondeterministic()(a_col, b_col)
 
 
 def embedding_near_dups(

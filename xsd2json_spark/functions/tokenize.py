@@ -21,6 +21,7 @@ passing different `merges`.
 
 from __future__ import annotations
 
+import re
 from functools import lru_cache
 
 import pandas as pd
@@ -28,6 +29,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 END = "</w>"
+
+#: Java regex \s is ASCII-only ([ \t\n\x0B\f\r]) while Python's \s and
+#: str.split() are Unicode-aware — the encoder must segment words with
+#: the SAME whitespace class the distributed training pass (text.tokens,
+#: a Java-regex split) used, or a word containing e.g. \xa0 counts as
+#: one word at training and two at encoding.
+_JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def _ws_split(text: str) -> list:
+    """Split exactly like text.tokens()'s Java-regex whitespace split."""
+    return [w for w in _JAVA_WS.split(text) if w]
 
 
 def word_frequencies(df: DataFrame, text_col: str, lowercase: bool = True) -> DataFrame:
@@ -44,13 +57,25 @@ def word_frequencies(df: DataFrame, text_col: str, lowercase: bool = True) -> Da
     )
 
 
-def train_bpe_merges(word_counts: dict, num_merges: int = 200) -> list:
+def _byte_symbols(word: str) -> tuple:
+    """GPT-2-style byte-level alphabet: the word's UTF-8 bytes as
+    single-byte symbols — any text (emoji, CJK, mojibake) tokenizes
+    without <unk> semantics because the 256-byte alphabet is closed."""
+    return tuple(bytes([b]) for b in word.encode("utf-8"))
+
+
+def train_bpe_merges(word_counts: dict, num_merges: int = 200, symbolize=None) -> list:
     """Classic BPE: repeatedly merge the most frequent adjacent symbol
     pair over the (word -> count) dict. Deterministic: ties break to
-    the lexicographically smallest pair. Returns merges in rank order."""
+    the lexicographically smallest pair. Returns merges in rank order.
+    ``symbolize`` maps a word to its initial symbol tuple — default is
+    char-level with the END marker; pass _byte_symbols for the
+    byte-level variant (no END: token boundaries are implicit in word
+    segmentation, as in GPT-2)."""
+    symbolize = symbolize or (lambda w: tuple(w) + (END,))
     vocab = {}
     for w, c in word_counts.items():
-        sym = tuple(w) + (END,)
+        sym = symbolize(w)
         vocab[sym] = vocab.get(sym, 0) + int(c)
     merges = []
     for _ in range(num_merges):
@@ -87,11 +112,11 @@ def train_bpe(df: DataFrame, text_col: str, num_merges: int = 200, lowercase: bo
     return train_bpe_merges(wc, num_merges)
 
 
-def bpe_encode_word(word: str, ranks: dict) -> list:
-    """Greedy lowest-rank-first merging of one word (GPT-2-style
-    application order): repeatedly merge the pair with the smallest
-    training rank until no trained pair remains."""
-    sym = list(word) + [END]
+def _greedy_merge(sym: list, ranks: dict) -> list:
+    """Greedy lowest-rank-first merging (GPT-2-style application
+    order): repeatedly merge the pair with the smallest training rank
+    until no trained pair remains. Symbol type agnostic (str or
+    bytes)."""
     while len(sym) > 1:
         best_i, best_r = -1, None
         for i in range(len(sym) - 1):
@@ -102,6 +127,20 @@ def bpe_encode_word(word: str, ranks: dict) -> list:
             break
         sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
     return sym
+
+
+def bpe_encode_word(word: str, ranks: dict) -> list:
+    """Char-level encode of one word (END-marked)."""
+    return _greedy_merge(list(word) + [END], ranks)
+
+
+def bpe_encode_word_bytes(word: str, ranks: dict) -> list:
+    """Byte-level encode of one word: UTF-8 byte symbols, no END.
+    Lossless by construction — b''.join(result) == word.encode('utf-8')
+    whatever the merges (merging only ever concatenates adjacent
+    symbols), so there is no <unk>: unseen bytes pass through as
+    single-byte tokens."""
+    return _greedy_merge(list(_byte_symbols(word)), ranks)
 
 
 def bpe_tokens(text_col: Column, merges: list, lowercase: bool = True) -> Column:
@@ -125,7 +164,7 @@ def bpe_tokens(text_col: Column, merges: list, lowercase: bool = True) -> Column
                 continue
             t = text.lower() if lowercase else text
             toks = []
-            for w in t.split():
+            for w in _ws_split(t):
                 toks.extend(enc(w))
             out.append(toks)
         return pd.Series(out)
@@ -135,3 +174,45 @@ def bpe_tokens(text_col: Column, merges: list, lowercase: bool = True) -> Column
 
 def bpe_token_count(text_col: Column, merges: list, lowercase: bool = True) -> Column:
     return F.size(bpe_tokens(text_col, merges, lowercase))
+
+
+def train_bpe_bytes(
+    df: DataFrame, text_col: str, num_merges: int = 200, lowercase: bool = True
+) -> list:
+    """Byte-level BPE training: the SAME distributed word-frequency
+    pass (words are strings on the wire — cheap), then the driver merge
+    loop over UTF-8 byte symbols. Returns merges as (bytes, bytes)
+    pairs in rank order."""
+    wc = {r["word"]: r["n"] for r in word_frequencies(df, text_col, lowercase).collect()}
+    return train_bpe_merges(wc, num_merges, symbolize=_byte_symbols)
+
+
+def bpe_tokens_bytes(text_col: Column, merges: list, lowercase: bool = True) -> Column:
+    """array<binary> of byte-level BPE tokens per document (tokens are
+    raw byte strings — a multi-byte UTF-8 character may be split across
+    tokens mid-merge, which is exactly GPT-2's representation; join the
+    word's tokens to recover its UTF-8 bytes losslessly). Same
+    Arrow-batch + per-worker lru_cache shape as bpe_tokens."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    @pandas_udf("array<binary>")
+    def _encode(s: pd.Series) -> pd.Series:
+        @lru_cache(maxsize=65536)
+        def enc(word: str) -> tuple:
+            return tuple(bpe_encode_word_bytes(word, ranks))
+
+        out = []
+        for text in s:
+            if text is None:
+                out.append([])
+                continue
+            t = text.lower() if lowercase else text
+            toks = []
+            for w in _ws_split(t):
+                toks.extend(enc(w))
+            out.append(toks)
+        return pd.Series(out)
+
+    return _encode(text_col)

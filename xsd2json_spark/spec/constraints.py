@@ -273,17 +273,21 @@ class Cardinality(Constraint):
 class Quantile(Constraint):
     """p-th percentile bounds on a numeric column/expr — the north
     star's quantile sketch promoted into the verdict path: passes iff
-    quantile_p lies in [min, max]. Exact percentile by default (linear
-    interpolation, same formula as DuckDB's quantile_cont, which makes
-    the check oracle-able); ``approx=True`` switches to
-    percentile_approx (GK sketch) for the memory-bounded scale path.
+    quantile_p lies in [min, max]. ``approx`` is three-valued:
+    ``None`` (default) auto-dispatches like EMB_ARROW_THRESHOLD — exact
+    ``F.percentile`` when the optimizer's size estimate for the input
+    is small, the mergeable GK ``percentile_approx`` sketch otherwise
+    (and whenever the estimate is unavailable, so the UNKNOWN case is
+    the scale-safe one). ``False`` forces exact (linear interpolation,
+    same formula as DuckDB's quantile_cont — the oracle-able
+    configuration); ``True`` forces the GK sketch.
     Optional ``group_by``: one check row per group."""
 
     column: str = ""
     p: float = 0.5
     min: Optional[float] = None
     max: Optional[float] = None
-    approx: bool = False
+    approx: Optional[bool] = None
     accuracy: int = 10000
     group_by: Sequence[str] = ()
     expr: Optional[str] = None

@@ -123,8 +123,33 @@ def stream_session_counts(
     )
 
 
+_DURATION_UNITS_MS = {
+    "millisecond": 1, "milliseconds": 1, "ms": 1,
+    "second": 1000, "seconds": 1000, "s": 1000,
+    "minute": 60_000, "minutes": 60_000, "min": 60_000,
+    "hour": 3_600_000, "hours": 3_600_000, "h": 3_600_000,
+    "day": 86_400_000, "days": 86_400_000, "d": 86_400_000,
+}
+
+
+def _duration_ms(ttl: "str | int") -> int:
+    """'10 minutes' / '500 ms' / 1500 -> milliseconds. PySpark's
+    GroupState.setTimeoutDuration only takes an int (the str overload
+    exists JVM-side but is rejected by the Python API — discovered the
+    hard way in test_streaming's TTL test)."""
+    if isinstance(ttl, int):
+        return ttl
+    parts = str(ttl).strip().split()
+    if len(parts) != 2 or not parts[0].lstrip("-").isdigit() or parts[1].lower() not in _DURATION_UNITS_MS:
+        raise ValueError(f"ttl must be int ms or 'N unit' (units: ms/seconds/minutes/hours/days), got {ttl!r}")
+    n = int(parts[0])
+    if n <= 0:
+        raise ValueError(f"ttl must be positive, got {ttl!r}")
+    return n * _DURATION_UNITS_MS[parts[1].lower()]
+
+
 def stream_unique_violations(
-    stream_df: DataFrame, c: Unique, timeout: str = "NoTimeout"
+    stream_df: DataFrame, c: Unique, ttl: "str | int | None" = None
 ) -> DataFrame:
     """Cross-micro-batch uniqueness violations via per-key state
     (``applyInPandasWithState`` — Arrow-batched, no per-row Python).
@@ -140,11 +165,15 @@ def stream_unique_violations(
     Scale notes: state is one long per distinct key, hash-partitioned
     by Spark's streaming state store across executors (RocksDB-backed
     in production) — the same key-partitioned shape as the batch salted
-    unique agg. For unbounded key churn set ``timeout`` to
-    ``ProcessingTimeTimeout`` and call ``state.setTimeoutDuration`` to
-    TTL idle keys (bounded retention is then explicit, mirroring the
-    watermarked operators above)."""
+    unique agg. For unbounded key churn pass ``ttl`` (milliseconds, or
+    a duration string like ``"10 minutes"``): idle keys then expire via
+    ProcessingTimeTimeout and their state is removed, bounding
+    retention explicitly (mirroring the watermarked operators above) —
+    at the cost that a duplicate arriving after its key expired counts
+    as a fresh first occurrence."""
     import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    ttl_ms = None if ttl is None else _duration_ms(ttl)
 
     keys = list(c.columns)
     cid = c.id
@@ -155,12 +184,17 @@ def stream_unique_violations(
     state_schema = StructType.fromDDL("seen long")
 
     def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
         seen = state.get[0] if state.exists else 0
         batch_n = 0
         for pdf in pdfs:
             batch_n += len(pdf)
         total = seen + batch_n
         state.update((total,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         new_dups = batch_n if seen > 0 else batch_n - 1
         if new_dups > 0:
             yield pd.DataFrame(
@@ -170,7 +204,8 @@ def stream_unique_violations(
 
     keyed = stream_df.select(*[F.col(k).cast("string").alias(k) for k in keys])
     return keyed.groupBy(*keys).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", timeout
+        fn, out_schema, state_schema, "append",
+        "ProcessingTimeTimeout" if ttl is not None else "NoTimeout",
     )
 
 
