@@ -896,6 +896,66 @@ def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_image_features_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked REAL image decode (new round 4): constant-color
+    binary PPM (P6) payloads are synthesized IN-PLAN (header string +
+    hex-repeat pixel bytes — all Column expressions), decoded by the
+    real numpy PPM codec, and the resulting thumbnail feature is a
+    constant DuckDB predicts from the ITU-601 luma formula: 16x8 const
+    image -> 2x2-pixel block means (power-of-two blocks, so the mean is
+    bit-exact) -> /255 -> float32. Every byte of the decode path —
+    header parse, pixel reshape, luma, block mean, normalization — is
+    thereby hash-verified against SQL."""
+    from xsd2json_spark.functions import multimodal as M
+
+    n, w, h = 64, 16, 8
+    df = spark.range(n)
+    r = (F.col("id") * 7 % 256).cast("int")
+    g = (F.col("id") * 13 % 256).cast("int")
+    b = (F.col("id") * 29 % 256).cast("int")
+    px_hex = F.repeat(
+        F.concat(*[F.lpad(F.hex(c), 2, "0") for c in (r, g, b)]), w * h
+    )
+    payload = F.concat(
+        F.lit(f"P6\n{w} {h}\n255\n").cast("binary"), F.to_binary(px_hex, F.lit("hex"))
+    )
+    media = df.select(
+        F.col("id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        payload.alias("payload"),
+        F.lit(w).alias("width"),
+        F.lit(h).alias("height"),
+        F.lit(0).cast("long").alias("duration_ms"),
+    )
+    feats = M.image_features(media, codec="ppm")
+    return feats.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.size("feature").cast("long").alias("feature_dim"),
+        F.size(F.array_distinct("feature")).cast("long").alias("n_distinct_vals"),
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f_const"),
+    )
+
+
+def q_media_audio_frames_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked REAL audio decode (new round 4): RIFF/WAVE PCM
+    payloads (stdlib-written square waves, synth_wav_media) are decoded
+    by the real wav codec and framed; amplitude and flip period are
+    chosen so per-frame rms = (i%15+1)/16 exactly and zcr = 249/1999
+    exactly (sign flips every 8 samples, 2000-sample frames), so DuckDB
+    predicts every output value from the generation formula."""
+    from xsd2json_spark.functions import multimodal as M
+
+    media = M.synth_wav_media(spark, n_rows=40, sr=8000, duration_ms=500, period=8)
+    return M.audio_frame_features(media, frame_ms=250, codec="wav").select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("start_ms").cast("long").alias("start_ms"),
+        F.round(F.col("rms").cast("double"), 6).alias("rms"),
+        F.round(F.col("zcr").cast("double"), 6).alias("zcr"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver entry points
 # ---------------------------------------------------------------------------
@@ -953,6 +1013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cv_drift_by_lang": q_cv_drift_by_lang,
         "cv_resume_lineage": q_cv_resume_lineage,
         "media_image_features": q_media_image_features,
+        "media_image_features_ppm": q_media_image_features_ppm,
+        "media_audio_frames_wav": q_media_audio_frames_wav,
         "media_video_frame_index": q_media_video_frame_index,
     }
 
@@ -1640,6 +1702,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT scenario, round(psi, 6) AS psi, CAST(n_cats AS BIGINT) AS n_cats,
                    psi >= 0.25 AS action, psi >= 0.1 AS watch
             FROM agg
+        """,
+        "media_image_features_ppm": """
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   CAST(32 AS BIGINT) AS feature_dim,
+                   CAST(1 AS BIGINT) AS n_distinct_vals,
+                   round(CAST(CAST((0.299 * ((i * 7) % 256)
+                                  + 0.587 * ((i * 13) % 256)
+                                  + 0.114 * ((i * 29) % 256)) / 255.0 AS FLOAT)
+                              AS DOUBLE), 6) AS f_const
+            FROM (SELECT unnest(range(64)) AS i)
+        """,
+        "media_audio_frames_wav": """
+            WITH m AS (SELECT unnest(range(40)) AS i),
+            f AS (SELECT unnest(range(2)) AS frame_idx)
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   CAST(frame_idx AS BIGINT) AS frame_idx,
+                   CAST(frame_idx * 250 AS BIGINT) AS start_ms,
+                   round(CAST(CAST(((i % 15) + 1) / 16.0 AS FLOAT) AS DOUBLE), 6) AS rms,
+                   round(CAST(CAST(249.0 / 1999.0 AS FLOAT) AS DOUBLE), 6) AS zcr
+            FROM m CROSS JOIN f
         """,
         "media_video_frame_index": """
             WITH m AS (

@@ -232,6 +232,39 @@ def synth_media(spark, n_rows: int = 200, seed: int = 42) -> DataFrame:
     )
 
 
+def synth_wav_media(
+    spark, n_rows: int = 40, sr: int = 8000, duration_ms: int = 500, period: int = 8
+) -> DataFrame:
+    """Deterministic media table whose payloads are REAL RIFF/WAVE PCM
+    files (stdlib ``wave``): media i carries a square wave of amplitude
+    (i % 15 + 1) * 2048 flipping sign every ``period`` samples — chosen
+    so rms = (i % 15 + 1) / 16 and the zero-crossing rate are exactly
+    representable and hence SQL-replayable after the real decode.
+    Payloads are built driver-side (n_rows * ~sr bytes — a demo table;
+    at scale you read real files), the decode runs distributed."""
+    import io
+    import wave as wavmod
+
+    rows = []
+    n = sr * duration_ms // 1000
+    sign = np.where(np.arange(n) // period % 2 == 0, 1, -1).astype(np.int64)
+    for i in range(n_rows):
+        amp = (i % 15 + 1) * 2048
+        buf = io.BytesIO()
+        with wavmod.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(sr)
+            wf.writeframes((amp * sign).astype("<i2").tobytes())
+        rows.append((i, "audio", "audio/wav", bytearray(buf.getvalue()),
+                     0, 0, duration_ms))
+    return spark.createDataFrame(
+        rows,
+        "media_id long, kind string, mime string, payload binary, "
+        "width int, height int, duration_ms long",
+    )
+
+
 AUDIO_FRAME_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
