@@ -956,6 +956,100 @@ def q_media_audio_frames_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cv_incremental_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked incremental snapshot validation (new round 4):
+    snapshot A = documents; snapshot B mutates it deterministically
+    (every doc_id % 7 == 0 gets text='', every % 11 == 0 changes lang
+    to 'xx', doc_id >= 450 rows are deleted). The incremental engine
+    composes B's row-level verdicts from A's verdicts plus counters
+    over the keyed delta ONLY (engine/incremental.py) and recomputes
+    the table-level unique check on B; DuckDB replays a FULL
+    from-scratch validation of B — equality proves the delta
+    composition is exact."""
+    from xsd2json_spark.engine.incremental import incremental_verdicts
+
+    a = _t(spark, sf_dir, "documents")
+    b = (
+        a.filter(F.col("doc_id") < 450)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 7 == 0, F.lit("")).otherwise(F.col("text")),
+        )
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 11 == 0, F.lit("xx")).otherwise(F.col("lang")),
+        )
+    )
+    spec = spec_from_dict(
+        {
+            **DOC_SPEC,
+            "constraints": DOC_SPEC["constraints"]
+            + [{"kind": "unique", "id": "pk_unique", "columns": ["doc_id"]}],
+        }
+    )
+    prev = ValidationEngine(spark, spec).run(a).verdicts
+    out = incremental_verdicts(spark, spec, a, b, prev)
+    return out.select(
+        "constraint_id",
+        F.col("violation_count").cast("long").alias("violation_count"),
+        "passed",
+    )
+
+
+def q_doc_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked dedup group assembly (new round 4): connected
+    components over the md5 MinHash near-dup PAIR graph — the step
+    that turns pairwise matches into dedup groups (A~B, B~C collapse
+    into one group even when A~C was never emitted). Spark runs
+    min-label propagation + path halving (O(log diameter) rounds);
+    DuckDB replays with a recursive CTE computing min reachable id —
+    two entirely different algorithms, hash-identical output."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 300) & F.col("text").isNotNull()
+    )
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.5, family="md5", hashed_bands=False
+    )
+    return D.connected_components(pairs).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("comp").cast("long").alias("component"),
+    )
+
+
+def q_doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked deterministic train/val/test split (new round 4):
+    the split label is a pure function of the key's md5 bucket
+    (functions/sampling.split_column), so DuckDB reproduces every
+    row's assignment and hence the per-(lang, split) counts exactly.
+    The property under test is the 100 TB pipeline requirement:
+    membership is engine- and partitioning-independent (no RNG), and a
+    row's split never changes as the corpus grows."""
+    from xsd2json_spark.functions import sampling as SP
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    split = SP.split_column(["doc_id"], (0.8, 0.1, 0.1), seed=42, family="md5")
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("lang", "split", F.col("n").cast("long").alias("n"))
+    )
+
+
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked per-stratum deterministic sampling (the sampleBy
+    analog without RNG): per-lang fractions over the md5 key bucket;
+    DuckDB replays the exact surviving row set (ids, not just counts)."""
+    from xsd2json_spark.functions import sampling as SP
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    out = SP.deterministic_sample(
+        docs, ["doc_id"], 0.0, seed=7, family="md5",
+        by={"en": 0.5, "fr": 0.25, "de": 0.1}, by_col="lang",
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
 # ---------------------------------------------------------------------------
 # driver entry points
 # ---------------------------------------------------------------------------
@@ -1012,6 +1106,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cv_drift_chi2_by_stat": q_cv_drift_chi2_by_stat,
         "cv_drift_by_lang": q_cv_drift_by_lang,
         "cv_resume_lineage": q_cv_resume_lineage,
+        "cv_incremental_verdicts": q_cv_incremental_verdicts,
+        "doc_dup_components": q_doc_dup_components,
+        "doc_split_counts": q_doc_split_counts,
+        "doc_stratified_sample": q_doc_stratified_sample,
         "media_image_features": q_media_image_features,
         "media_image_features_ppm": q_media_image_features_ppm,
         "media_audio_frames_wav": q_media_audio_frames_wav,
@@ -1233,6 +1331,109 @@ def _drift_verdict_by_lang_oracle() -> str:
                CAST(agg.dof AS BIGINT) AS dof,
                statistic <= crit AS passed
         FROM agg JOIN crit ON crit.dof = agg.dof
+    """
+
+
+def _incremental_oracle() -> str:
+    """DuckDB replay of q_cv_incremental_verdicts: a FULL from-scratch
+    validation of mutated snapshot B — Spark gets there by composing
+    snapshot A's verdicts with delta-only counters, so equality proves
+    the composition exact."""
+    return """
+        WITH b AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN '' ELSE text END AS text,
+                   CASE WHEN doc_id % 11 = 0 THEN 'xx' ELSE lang END AS lang,
+                   n_chars, source
+            FROM documents WHERE doc_id < 450
+        ),
+        checks(constraint_id, violation_count) AS (
+            SELECT 'text_not_null', count(*) FILTER (WHERE text IS NULL) FROM b
+            UNION ALL
+            SELECT 'lang_enum', count(*) FILTER (
+                WHERE lang IS NOT NULL AND lang NOT IN ('en','fr','de','es')) FROM b
+            UNION ALL
+            SELECT 'nchars_range', count(*) FILTER (
+                WHERE n_chars IS NOT NULL AND NOT (n_chars >= 1 AND n_chars <= 350)) FROM b
+            UNION ALL
+            SELECT 'text_minlen', count(*) FILTER (
+                WHERE text IS NOT NULL AND NOT (length(text) BETWEEN 10 AND 100000)) FROM b
+            UNION ALL
+            SELECT 'source_pattern', count(*) FILTER (
+                WHERE source IS NOT NULL AND NOT regexp_full_match(source, '(?:src[0-9])')) FROM b
+            UNION ALL
+            SELECT 'pk_unique', count(*) FROM (
+                SELECT doc_id FROM b GROUP BY doc_id HAVING count(*) > 1)
+        )
+        SELECT constraint_id,
+               CAST(violation_count AS BIGINT) AS violation_count,
+               violation_count = 0 AS passed
+        FROM checks
+    """
+
+
+def _dup_components_oracle() -> str:
+    """DuckDB replay of q_doc_dup_components: the md5 MinHash pair
+    pipeline (reused verbatim from _minhash_oracle as a subquery) fed
+    into a recursive CTE that computes each node's minimum reachable
+    id — transitive closure by UNION-dedup recursion, a completely
+    different algorithm from Spark's label propagation."""
+    return f"""
+        WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT a AS id FROM edges),
+        reach(id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+        )
+        SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component
+        FROM reach GROUP BY id
+    """
+
+
+def _md5_bucket_sql(key_sql: str, seed: int) -> str:
+    """DuckDB replay of sampling.hash_bucket(family='md5'): first 15
+    hex digits of md5('<seed>|' || key) as a BIGINT (strpos hexval —
+    the minhash/simhash oracle idiom), mod 1e6."""
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {p + 1}, 1)) - 1) * {1 << (4 * (14 - p))}"
+        for p in range(15)
+    )
+    return (
+        f"(SELECT ({digits}) % 1000000 FROM (SELECT md5('{seed}|' || {key_sql}) AS h))"
+    )
+
+
+def _split_counts_oracle() -> str:
+    b = _md5_bucket_sql("CAST(doc_id AS VARCHAR)", 42)
+    return f"""
+        WITH d AS (
+            SELECT lang,
+                   CASE WHEN {b} < 800000 THEN 'train'
+                        WHEN {b} < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents WHERE lang IS NOT NULL
+        )
+        SELECT lang, split, CAST(count(*) AS BIGINT) AS n
+        FROM d GROUP BY lang, split
+    """
+
+
+def _stratified_sample_oracle() -> str:
+    b = _md5_bucket_sql("CAST(doc_id AS VARCHAR)", 7)
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+        FROM documents
+        WHERE lang IS NOT NULL
+          AND {b} < CASE lang WHEN 'en' THEN 500000
+                              WHEN 'fr' THEN 250000
+                              WHEN 'de' THEN 100000
+                              ELSE 0 END
     """
 
 
@@ -1460,6 +1661,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cv_drift_ks_stat": _ks_stat_oracle(),
         "cv_drift_ks_by_stat": _ks_by_stat_oracle(),
+        "cv_incremental_verdicts": _incremental_oracle(),
+        "doc_dup_components": _dup_components_oracle(),
+        "doc_split_counts": _split_counts_oracle(),
+        "doc_stratified_sample": _stratified_sample_oracle(),
         "cv_drift_chi2": _drift_verdict_oracle(),
         "cv_drift_by_lang": _drift_verdict_by_lang_oracle(),
         "doc_langid_ngram": _langid_ngram_oracle(),

@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "doc_ngram_jaccard",
     "events_sessionization",
     "brand_revenue",
+    "doc_split_counts",
+    "doc_stratified_sample",
     "emb_knn_brute",
     "emb_knn_lsh",
     "emb_knn_lsh_pruned",

@@ -5,12 +5,21 @@
         --spec specs/files_v1.json \\
         --output /data/audit \\
         --dim repos_dim=/data/repos_dim.parquet \\
-        [--resume --run-id r42 --buckets 64] [--partitions 2048]
+        [--resume --run-id r42 --buckets 64] [--partitions 2048] \
+        [--incremental-prev /data/prev.parquet \
+         --prev-verdicts /data/audit_prev/verdicts]
 
 Writes <output>/verdicts, <output>/violations, <output>/stats (parquet;
 point --output at an Iceberg-backed location + table names in a real
 deployment — see xsd2json_spark.sources.io). Exits 1 if any constraint
 failed, 0 otherwise (CI-gate style).
+
+--incremental-prev switches to snapshot-delta validation
+(engine/incremental.py): row-level constraint counters compose from the
+previous snapshot's persisted verdicts plus counters over the keyed
+delta only; table-level checks recompute on the current snapshot. Only
+<output>/verdicts is written in this mode (violations/stats are
+full-run products).
 """
 
 from __future__ import annotations
@@ -39,6 +48,10 @@ def main(argv=None) -> int:
     ap.add_argument("--salt-partitions", type=int, default=0)
     ap.add_argument("--baselines", default=None,
                     help="drift-baseline JSON written by jobs/snapshot.py")
+    ap.add_argument("--incremental-prev", default=None, metavar="PATH",
+                    help="previous snapshot (parquet) for delta validation")
+    ap.add_argument("--prev-verdicts", default=None, metavar="PATH",
+                    help="previous run's verdicts (parquet), required with --incremental-prev")
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName(f"validate:{os.path.basename(args.spec)}").getOrCreate()
@@ -59,7 +72,18 @@ def main(argv=None) -> int:
     )
     df = spark.read.parquet(args.input)
 
-    if args.resume:
+    if args.incremental_prev:
+        from xsd2json_spark.engine.incremental import incremental_verdicts
+
+        if not args.prev_verdicts:
+            ap.error("--incremental-prev requires --prev-verdicts")
+        if args.resume:
+            ap.error("--incremental-prev and --resume are mutually exclusive")
+        prev_df = spark.read.parquet(args.incremental_prev)
+        prev_v = spark.read.parquet(args.prev_verdicts)
+        verdicts = incremental_verdicts(spark, spec, prev_df, df, prev_v, dims=dims)
+        verdicts.write.mode("overwrite").parquet(os.path.join(args.output, "verdicts"))
+    elif args.resume:
         runner = ResumableRunner(engine, args.output, run_id=args.run_id, n_buckets=args.buckets)
         runner.run(df)
         verdicts = runner.global_verdicts()

@@ -252,3 +252,38 @@ def test_minhash_pairs_from_persisted_base_match_inmemory(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         D.minhash_pairs_from_base(spark, path, bands=7)
+
+
+def test_connected_components_shapes(spark):
+    """Hand-checkable graph shapes: a 10-node chain (diameter 9 — needs
+    the path-halving log convergence, plain propagation would need 9
+    rounds), a star, a cycle, two disjoint cliques, and a no-edge
+    node-free frame."""
+    def cc(pairs):
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        return {r["id"]: r["comp"] for r in D.connected_components(df).collect()}
+
+    chain = cc([(i, i + 1) for i in range(9)])
+    assert chain == {i: 0 for i in range(10)}
+
+    star = cc([(5, 50), (5, 51), (5, 52)])
+    assert star == {5: 5, 50: 5, 51: 5, 52: 5}
+
+    cycle = cc([(1, 2), (2, 3), (3, 1)])
+    assert cycle == {1: 1, 2: 1, 3: 1}
+
+    two = cc([(10, 11), (20, 21), (21, 22)])
+    assert two == {10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert D.connected_components(empty).collect() == []
+
+
+def test_dedup_survivors_keeps_min_per_group_and_untouched_rows(spark):
+    """dedup_survivors drops every group member except the min id;
+    rows that appear in no pair survive untouched."""
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(8)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 3), (3, 5), (1, 6)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in D.dedup_survivors(df, pairs, "doc_id").collect())
+    # group {0,3,5} -> keep 0; group {1,6} -> keep 1; 2,4,7 untouched
+    assert kept == [0, 1, 2, 4, 7]

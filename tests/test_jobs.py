@@ -70,3 +70,47 @@ def test_snapshot_without_drift_constraints_errors(spark, tmp_path):
     spec_path = _write_spec(tmp_path, [{"kind": "not_null", "id": "nn", "column": "content"}])
     assert snap_main(["--input", inp, "--spec", spec_path,
                       "--output", str(tmp_path / "b.json")]) == 1
+
+
+def test_incremental_job_matches_full_run(spark, tmp_path):
+    """jobs/validate.py --incremental-prev: the delta-composed verdicts
+    parquet equals a full run's verdicts on the mutated snapshot, and
+    the CI exit code reflects the composed result."""
+    from jobs.validate import main as val_main
+
+    files = files_table(spark, n_rows=3000)
+    a_path = str(tmp_path / "a.parquet")
+    files.write.parquet(a_path)
+    h = F.abs(F.xxhash64("repo", "path", "commit"))
+    b = files.filter(h % 31 != 0).withColumn(
+        "content", F.when(h % 17 == 0, F.lit(None)).otherwise(F.col("content"))
+    )
+    b_path = str(tmp_path / "b.parquet")
+    b.write.parquet(b_path)
+    spec_path = _write_spec(
+        tmp_path,
+        [
+            {"kind": "not_null", "id": "c_nn", "column": "content"},
+            {"kind": "unique", "id": "pk", "columns": ["repo", "path", "commit"]},
+        ],
+    )
+    out_a = str(tmp_path / "audit_a")
+    out_b_full = str(tmp_path / "audit_b_full")
+    out_b_inc = str(tmp_path / "audit_b_inc")
+    # full run on A (exit 1 — synthetic table has planted violations)
+    assert val_main(["--input", a_path, "--spec", spec_path, "--output", out_a]) == 1
+    # full run on B and incremental A->B must agree row-for-row
+    assert val_main(["--input", b_path, "--spec", spec_path, "--output", out_b_full]) == 1
+    assert val_main([
+        "--input", b_path, "--spec", spec_path, "--output", out_b_inc,
+        "--incremental-prev", a_path, "--prev-verdicts", out_a + "/verdicts",
+    ]) == 1
+    full = {
+        (r["partition_key"], r["constraint_id"]): (r["violation_count"], r["passed"])
+        for r in spark.read.parquet(out_b_full + "/verdicts").collect()
+    }
+    inc = {
+        (r["partition_key"], r["constraint_id"]): (r["violation_count"], r["passed"])
+        for r in spark.read.parquet(out_b_inc + "/verdicts").collect()
+    }
+    assert inc == full and len(inc) == 2

@@ -11,8 +11,11 @@ the physical plan.
 Layout:
   spec/       constraint dataclasses, TYPE_REGISTRY, merge lattice, loader
   engine/     compile spec -> Column predicates; single-pass validate;
-              uniqueness / FK / cardinality / drift; audit + resume
-  functions/  text analysis, dedup (exact/minhash/simhash), similarity
+              uniqueness / FK / cardinality / drift; audit + resume;
+              incremental snapshot-delta validation
+  functions/  text analysis, dedup (exact/minhash/simhash + connected
+              components), similarity/ANN, BPE tokenization,
+              deterministic sampling/splits, multimodal codecs
   sources/    deterministic synthetic `files` table; parquet/iceberg IO
   streaming/  Structured Streaming validation (watermarked)
 """

@@ -1,0 +1,148 @@
+"""Incremental (snapshot-delta) validation — the operator that makes
+re-validating a 10^12-file table affordable when only a sliver changed.
+
+At warehouse scale the daily reality is: snapshot B differs from the
+already-validated snapshot A by a few million rows out of a trillion.
+A full re-run re-decompresses and re-regexes every content byte; the
+incremental path touches only the DELTA for all row-level constraint
+counters, because those counters are sums of per-row indicators and
+sums compose:
+
+    count_B(c) = count_A(c) + count_added(c) - count_removed(c)
+
+where added/removed are keyed diffs (an updated row appears in both,
+so its old contribution is subtracted and its new one added — exact,
+not approximate).
+
+What is and is not incrementally composable:
+- ROW-LEVEL constraints (not_null, enum, pattern, length, range,
+  dtype, constant, allOf/anyOf): exact composition via the formula
+  above — the expensive per-row work (regex + casts over content)
+  runs only on the delta.
+- TABLE-LEVEL constraints (unique, foreign_key, cardinality, quantile,
+  drift): NOT locally composable — adding one row can create a
+  uniqueness violation with an UNCHANGED row. These are recomputed on
+  the current snapshot. They are the cheap side at scale: uniqueness
+  and FK shuffle fixed-width keys, not content, and the quantile/drift
+  aggregates are sketch-sized. (True incremental uniqueness would
+  maintain a keyed count table — the streaming
+  ``stream_unique_violations`` state, materialized; out of scope
+  here and called out in the docstring contract.)
+
+Delta discovery: a fingerprint anti-join on (key, sha256-of-payload)
+in both directions. This still SCANS both snapshots once (content must
+be hashed to detect changes) but shuffles only 32-byte keys — and on
+an Iceberg deployment you would replace `snapshot_delta` with the
+table's own changelog/incremental read and skip the scan entirely;
+`incremental_verdicts` takes (added, removed) from any source.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xsd2json_spark.engine.validate import VERDICT_COLUMNS, ValidationEngine
+from xsd2json_spark.spec.constraints import Spec
+
+
+def snapshot_delta(
+    prev_df: DataFrame, cur_df: DataFrame, key_columns, payload_cols=None
+) -> "tuple[DataFrame, DataFrame]":
+    """(added, removed) between two snapshots, keyed by
+    (key_columns..., sha256 fingerprint of payload_cols). payload_cols
+    defaults to every non-key column. An updated row (same key, changed
+    payload) appears in BOTH outputs — which is exactly what makes the
+    count composition exact. Anti-joins shuffle the 32-byte
+    fingerprint + keys, never the payload."""
+    keys = list(key_columns)
+    if payload_cols is None:
+        payload_cols = [c for c in cur_df.columns if c not in keys]
+    fp = F.sha2(F.to_json(F.struct(*[F.col(c) for c in payload_cols])), 256)
+    on = keys + ["__fp"]
+    prev_k = prev_df.withColumn("__fp", fp)
+    cur_k = cur_df.withColumn("__fp", fp)
+    added = cur_k.join(prev_k.select(*on), on, "left_anti").drop("__fp")
+    removed = prev_k.join(cur_k.select(*on), on, "left_anti").drop("__fp")
+    return added, removed
+
+
+def incremental_row_verdicts(
+    engine: ValidationEngine,
+    added: DataFrame,
+    removed: DataFrame,
+    prev_verdicts: DataFrame,
+) -> DataFrame:
+    """Row-level verdicts for the CURRENT snapshot from the previous
+    snapshot's persisted verdict rows plus counters over the delta
+    only. Composes per (partition_key, constraint_id) with full outer
+    semantics: partitions that newly appear (only in added) or fully
+    drain (evaluated_count reaching 0 — vacuous pass) both come out
+    right because every count coalesces to 0."""
+    row_ids = [c.id for c in engine.spec.row_level()]
+    va, _ = engine.row_verdicts_and_stats(added)
+    vr, _ = engine.row_verdicts_and_stats(removed)
+    prev = prev_verdicts.filter(F.col("constraint_id").isin(row_ids)).select(
+        "partition_key",
+        "constraint_id",
+        F.col("violation_count").alias("__pv"),
+        F.col("evaluated_count").alias("__pe"),
+    )
+    a = va.select(
+        "partition_key", "constraint_id",
+        F.col("violation_count").alias("__av"), F.col("evaluated_count").alias("__ae"),
+    )
+    r = vr.select(
+        "partition_key", "constraint_id",
+        F.col("violation_count").alias("__rv"), F.col("evaluated_count").alias("__re"),
+    )
+    on = ["partition_key", "constraint_id"]
+    j = prev.join(a, on, "full").join(r, on, "full")
+    z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
+    out = j.select(
+        "partition_key",
+        "constraint_id",
+        (z("__pv") + z("__av") - z("__rv")).alias("violation_count"),
+        (z("__pe") + z("__ae") - z("__re")).alias("evaluated_count"),
+    ).withColumn("passed", F.col("violation_count") == 0)
+    # a grand-aggregate engine emits one row even for an EMPTY delta
+    # (vacuous counters on added/removed) — those zero-delta rows are
+    # already correct; nothing to filter.
+    return out.select(*VERDICT_COLUMNS)
+
+
+def incremental_verdicts(
+    spark: SparkSession,
+    spec: Spec,
+    prev_df: DataFrame,
+    cur_df: DataFrame,
+    prev_verdicts: DataFrame,
+    dims=None,
+    config=None,
+) -> DataFrame:
+    """Full verdict table for cur_df, touching only the delta for the
+    row-level (content-scanning) constraints and recomputing the
+    key-shuffle table-level ones on cur_df. Equals a from-scratch
+    ``ValidationEngine.run(cur_df)`` verdict table (asserted in
+    test_incremental and by the cv_incremental_verdicts oracle)."""
+    kwargs = {}
+    if config is not None:
+        kwargs["config"] = config
+    # watched_columns stripped: the stats sketch over a delta is not a
+    # snapshot sketch (min/max/distinct don't subtract) — sketches stay
+    # a full-run product
+    engine = ValidationEngine(spark, replace(spec, watched_columns=()), dims=dims or {}, **kwargs)
+    added, removed = snapshot_delta(prev_df, cur_df, spec.key_columns)
+    verdicts = incremental_row_verdicts(engine, added, removed, prev_verdicts)
+    table_cs = spec.table_level()
+    if table_cs:
+        table_spec = replace(spec, constraints=tuple(table_cs), watched_columns=())
+        tbl_engine = ValidationEngine(spark, table_spec, dims=dims or {}, **kwargs)
+        res = tbl_engine.run(cur_df)
+        tv = res.verdicts.filter(
+            F.col("constraint_id").isin([c.id for c in table_cs])
+        )
+        verdicts = verdicts.unionByName(tv.select(*VERDICT_COLUMNS))
+    return verdicts

@@ -349,6 +349,81 @@ def minhash_pairs_from_base(
     return _minhash_pairs_over_base(base, bands, num_hashes // bands, threshold, hashed_bands)
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate PAIR graph — the step
+    that turns pairwise matches into dedup groups (pairs alone
+    over-count: A~B and B~C must collapse to one group even when A~C
+    was never emitted). Returns (id, component) where component is the
+    MINIMUM id reachable from the node; one row per node that appears
+    in any pair.
+
+    Algorithm: min-label propagation with path halving. Each round
+    (1) every node takes min(own label, min neighbor label) — one
+    shuffle join on the edge key; (2) labels chase one pointer hop
+    (label := label's label) — a self-join that halves label-chain
+    depth, so convergence is O(log diameter) rounds instead of
+    O(diameter); dup clusters are near-cliques, so 2-4 rounds in
+    practice. Each round persists its label table and unpersists the
+    previous one (truncates the iterative lineage — the standard Spark
+    iterative-algorithm discipline). The per-round count() action is
+    the convergence test, O(#nodes) not O(#rows).
+
+    Raises after ``max_iter`` rounds without convergence rather than
+    returning silently-partial components."""
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    edges = edges.persist()
+    labels = edges.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id")).persist()
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                edges.join(
+                    labels.select(F.col("id").alias("b"), F.col("comp").alias("__nc")), "b"
+                )
+                .groupBy("a")
+                .agg(F.min("__nc").alias("__mn"))
+                .select(F.col("a").alias("id"), "__mn")
+            )
+            prop = labels.join(nbr, "id", "left").select(
+                "id", F.least("comp", F.coalesce("__mn", "comp")).alias("comp"), F.col("comp").alias("__old")
+            )
+            # path halving: comp := label(comp) (comp values ARE node ids)
+            hop = prop.join(
+                prop.select(F.col("id").alias("comp"), F.col("comp").alias("__cc")),
+                "comp",
+                "left",
+            ).select(
+                "id", F.least(F.coalesce("__cc", "comp"), "comp").alias("comp"), "__old"
+            )
+            new_labels = hop.select("id", "comp").persist()
+            changed = hop.filter(F.col("comp") != F.col("__old")).count()
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels.select("id", "comp")
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(pathological graph diameter?)"
+        )
+    finally:
+        edges.unpersist()
+
+
+def dedup_survivors(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Drop every duplicate-group member except the minimum-id
+    representative: components over the pair graph, anti-join the
+    non-representatives. Rows in no pair survive untouched — so this
+    composes with any pair generator (minhash / simhash / embedding)."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("comp")).select(F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash(col: Column, num_bits: int = 64) -> Column:
     """SimHash over whitespace tokens: per bit position, sum +-1 votes of
     each token's hash bit; the sign vector packs into a long. Pure
