@@ -956,6 +956,60 @@ def q_media_audio_frames_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked repetition signals (new round 4): duplicate-line
+    ratio and top-bigram share per document — the Gopher-family
+    boilerplate/looping filters. Two scenarios: the raw text and a
+    degraded variant (text duplicated onto a second line) so both
+    branches of the ratio are exercised. All pure Column exprs; the
+    top-bigram count is a sort + run-length fold, not a per-element
+    map accumulator (that shape is O(grams^2) interpreted)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    cur = docs.select(
+        F.lit("self").alias("scenario"), "doc_id", "text"
+    ).unionAll(
+        docs.select(
+            F.lit("doubled").alias("scenario"),
+            "doc_id",
+            F.concat("text", F.lit("\n"), "text").alias("text"),
+        )
+    )
+    return cur.select(
+        "scenario",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        T.duplicate_line_ratio(F.col("text")).alias("dup_line_ratio"),
+        T.top_ngram_ratio(F.col("text"), 2).alias("top_bigram_ratio"),
+    )
+
+
+def q_doc_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked Gopher-style rule flags (new round 4): per-rule
+    booleans (word count / mean word length / #-and-ellipsis symbol
+    ratio / duplicate lines) as one struct-derived row. The degraded
+    scenario prepends '#' runs and doubles the text so every rule has
+    failing rows in the fixture."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    cur = docs.select(
+        F.lit("self").alias("scenario"), "doc_id", "text"
+    ).unionAll(
+        docs.select(
+            F.lit("degraded").alias("scenario"),
+            "doc_id",
+            F.concat(F.lit("#### ## # "), "text", F.lit("\n"), "text",
+                     F.lit("\n"), "text").alias("text"),
+        )
+    )
+    flags = T.quality_flags(F.col("text"))
+    return cur.select(
+        "scenario",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        flags["word_count_ok"].alias("word_count_ok"),
+        flags["mean_word_len_ok"].alias("mean_word_len_ok"),
+        flags["symbol_ratio_ok"].alias("symbol_ratio_ok"),
+        flags["dup_lines_ok"].alias("dup_lines_ok"),
+    )
+
+
 def q_cv_incremental_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-checked incremental snapshot validation (new round 4):
     snapshot A = documents; snapshot B mutates it deterministically
@@ -1106,6 +1160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cv_drift_chi2_by_stat": q_cv_drift_chi2_by_stat,
         "cv_drift_by_lang": q_cv_drift_by_lang,
         "cv_resume_lineage": q_cv_resume_lineage,
+        "doc_repetition": q_doc_repetition,
+        "doc_quality_flags": q_doc_quality_flags,
         "cv_incremental_verdicts": q_cv_incremental_verdicts,
         "doc_dup_components": q_doc_dup_components,
         "doc_split_counts": q_doc_split_counts,
@@ -1331,6 +1387,93 @@ def _drift_verdict_by_lang_oracle() -> str:
                CAST(agg.dof AS BIGINT) AS dof,
                statistic <= crit AS passed
         FROM agg JOIN crit ON crit.dof = agg.dof
+    """
+
+
+#: DuckDB fragments shared by the repetition/quality-flag oracles:
+#: whitespace tokens (Spark tokens()) and trimmed non-blank lines
+_DD_WORDS = r"list_filter(string_split_regex({t}, '\s+'), x -> x <> '')"
+_DD_LINES = r"list_filter(list_transform(string_split({t}, chr(10)), x -> trim(x)), x -> len(x) > 0)"
+
+
+def _repetition_oracle() -> str:
+    words = _DD_WORDS.format(t="lower(text)")
+    lines = _DD_LINES.format(t="text")
+    return f"""
+        WITH cur AS (
+            SELECT 'self' AS scenario, doc_id, text FROM documents WHERE text IS NOT NULL
+            UNION ALL
+            SELECT 'doubled', doc_id, text || chr(10) || text
+            FROM documents WHERE text IS NOT NULL
+        ),
+        t AS (
+            SELECT scenario, doc_id,
+                   {lines} AS lines,
+                   {words} AS w
+            FROM cur
+        ),
+        g AS (
+            SELECT scenario, doc_id, lines,
+                   greatest(len(w) - 1, 0) AS cnt,
+                   CASE WHEN len(w) >= 2
+                        THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+                        ELSE [] END AS grams
+            FROM t
+        ),
+        tops AS (
+            SELECT scenario, doc_id, max(c) AS top FROM (
+                SELECT scenario, doc_id, g2.g AS g, count(*) AS c
+                FROM g, LATERAL (SELECT unnest(grams) AS g) g2
+                GROUP BY 1, 2, 3
+            ) GROUP BY 1, 2
+        )
+        SELECT g.scenario, CAST(g.doc_id AS BIGINT) AS doc_id,
+               CASE WHEN len(lines) <= 0 THEN 0.0
+                    ELSE round(1.0 - len(list_distinct(lines)) * 1.0 / len(lines), 6)
+               END AS dup_line_ratio,
+               CASE WHEN cnt <= 0 THEN 0.0
+                    ELSE round(coalesce(tops.top, 0) * 1.0 / cnt, 6)
+               END AS top_bigram_ratio
+        FROM g LEFT JOIN tops ON tops.scenario = g.scenario AND tops.doc_id = g.doc_id
+    """
+
+
+def _quality_flags_oracle() -> str:
+    words = _DD_WORDS.format(t="text")
+    lines = _DD_LINES.format(t="text")
+    return f"""
+        WITH cur AS (
+            SELECT 'self' AS scenario, doc_id, text FROM documents WHERE text IS NOT NULL
+            UNION ALL
+            SELECT 'degraded', doc_id,
+                   '#### ## # ' || text || chr(10) || text || chr(10) || text
+            FROM documents WHERE text IS NOT NULL
+        ),
+        t AS (
+            SELECT scenario, doc_id, text,
+                   {words} AS w,
+                   {lines} AS lines
+            FROM cur
+        ),
+        m AS (
+            SELECT scenario, doc_id, text, lines,
+                   len(w) AS n_words,
+                   CASE WHEN len(w) > 0
+                        THEN list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w)
+                        ELSE 0.0 END AS mean_wl,
+                   length(text) - length(replace(text, '#', '')) AS hashes,
+                   (length(text) - length(replace(text, '...', ''))) / 3 AS ellipses
+            FROM t
+        )
+        SELECT scenario, CAST(doc_id AS BIGINT) AS doc_id,
+               n_words BETWEEN 5 AND 100000 AS word_count_ok,
+               mean_wl BETWEEN 2.0 AND 12.0 AS mean_word_len_ok,
+               (CASE WHEN n_words > 0 THEN (hashes + ellipses) * 1.0 / n_words ELSE 0.0 END)
+                   <= 0.1 AS symbol_ratio_ok,
+               (CASE WHEN len(lines) <= 0 THEN 0.0
+                     ELSE round(1.0 - len(list_distinct(lines)) * 1.0 / len(lines), 6)
+                END) <= 0.3 AS dup_lines_ok
+        FROM m
     """
 
 
@@ -1661,6 +1804,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cv_drift_ks_stat": _ks_stat_oracle(),
         "cv_drift_ks_by_stat": _ks_by_stat_oracle(),
+        "doc_repetition": _repetition_oracle(),
+        "doc_quality_flags": _quality_flags_oracle(),
         "cv_incremental_verdicts": _incremental_oracle(),
         "doc_dup_components": _dup_components_oracle(),
         "doc_split_counts": _split_counts_oracle(),

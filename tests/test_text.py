@@ -185,3 +185,61 @@ def test_top_terms_counts_and_tiebreak(spark):
     assert got[("fr", 1)] == ("pomme", 2)
     assert got[("fr", 2)] == ("poire", 1)
     assert len(rows) == 4
+
+
+def test_duplicate_line_ratio_hand_values(spark):
+    cases = [
+        (1, "a\nb\nc"),            # all distinct -> 0
+        (2, "a\na\nb"),            # 3 lines, 2 distinct -> 1/3
+        (3, "x\n  x  \nx"),        # trim: all the same -> 2/3
+        (4, "\n \n\t\n"),          # blank-only -> 0 (no lines)
+        (5, None),                 # null -> 0 via coalesce at call site
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["r"]
+        for r in df.select(
+            "doc_id", T.duplicate_line_ratio(F.coalesce("text", F.lit(""))).alias("r")
+        ).collect()
+    }
+    assert got[1] == 0.0
+    assert abs(got[2] - round(1 - 2 / 3, 6)) < 1e-9
+    assert abs(got[3] - round(1 - 1 / 3, 6)) < 1e-9
+    assert got[4] == 0.0 and got[5] == 0.0
+
+
+def test_top_ngram_ratio_hand_values(spark):
+    cases = [
+        (1, "a b a b a b"),   # bigrams: [a b, b a, a b, b a, a b] -> 3/5
+        (2, "one two three"),  # all distinct bigrams -> 1/2
+        (3, "word"),           # < 2 tokens -> 0
+        (4, "A b a B"),        # lowercased: bigrams [a b, b a, a b] -> 2/3
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["r"]
+        for r in df.select("doc_id", T.top_ngram_ratio(F.col("text"), 2).alias("r")).collect()
+    }
+    assert abs(got[1] - 0.6) < 1e-9
+    assert abs(got[2] - 0.5) < 1e-9
+    assert got[3] == 0.0
+    assert abs(got[4] - round(2 / 3, 6)) < 1e-9
+
+
+def test_quality_flags_rules(spark):
+    long_ok = "these are perfectly reasonable words for a quality check"
+    cases = [
+        (1, long_ok),                                   # all pass
+        (2, "one two"),                                 # word_count fails (< 5)
+        (3, "#### ### ## " + long_ok),                  # symbol ratio fails
+        (4, long_ok + "\n" + long_ok + "\n" + long_ok), # dup lines fail
+        (5, "aaaaaaaaaaaaaaaaaaaaaa " * 6),             # mean word len fails (22)
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    f = T.quality_flags(F.col("text"))
+    got = {r["doc_id"]: r for r in df.select("doc_id", f.alias("f")).select("doc_id", "f.*").collect()}
+    assert all(got[1][k] for k in ("word_count_ok", "mean_word_len_ok", "symbol_ratio_ok", "dup_lines_ok"))
+    assert not got[2]["word_count_ok"]
+    assert not got[3]["symbol_ratio_ok"] and got[3]["word_count_ok"]
+    assert not got[4]["dup_lines_ok"] and got[4]["symbol_ratio_ok"]
+    assert not got[5]["mean_word_len_ok"]

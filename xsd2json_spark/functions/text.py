@@ -304,3 +304,103 @@ def top_terms(df: DataFrame, text_col: str, k: int = 5, group_by=None, lowercase
     counts = exploded.groupBy(*gb, "term").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy(*gb).orderBy(F.col("n").desc(), F.col("term").asc())
     return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# repetition detection + rule-based quality flags (the Gopher-rules
+# family: cheap, explainable document filters a pretraining pipeline
+# applies before any model-based scoring)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_line_ratio(col: Column) -> Column:
+    """Fraction of non-blank lines that are duplicates of another line
+    in the SAME document — the classic boilerplate/repetition signal
+    (navigation menus, repeated footers, generated logs). Pure Column
+    exprs: split -> trim -> drop blanks -> 1 - distinct/total; empty
+    docs score 0."""
+    lines = F.filter(
+        F.transform(F.split(col, "\n"), lambda ln: F.trim(ln)),
+        lambda ln: F.length(ln) > 0,
+    )
+    n = F.size(lines)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - F.size(F.array_distinct(lines)) / n.cast("double"), 6)
+    )
+
+
+def top_ngram_ratio(col: Column, n: int = 2) -> Column:
+    """Fraction of the document's word-n-grams taken by the single most
+    frequent n-gram — high values mean looping/templated text.
+
+    Shape: build the gram array, SORT it, then one fold counting the
+    longest equal-run. A map accumulator (map_filter + map_concat per
+    element) would be O(grams^2) per document because higher-order
+    lambdas re-evaluate interpreted — the same trap the shingling
+    kernel documents; sort + run-length is O(g log g) + one pass.
+    Docs with < n tokens score 0."""
+    toks = tokens(F.lower(col))
+    cnt = F.size(toks) - (n - 1)
+    grams = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    folded = F.aggregate(
+        grams,
+        init,
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    return F.when(cnt <= 0, F.lit(0.0)).otherwise(
+        F.round(folded["best"] / cnt.cast("double"), 6)
+    )
+
+
+def quality_flags(
+    col: Column,
+    min_words: int = 5,
+    max_words: int = 100_000,
+    mean_word_len_bounds: "tuple[float, float]" = (2.0, 12.0),
+    max_symbol_ratio: float = 0.1,
+    max_dup_line_ratio: float = 0.3,
+) -> Column:
+    """Gopher-style rule flags as ONE struct column — each field is a
+    boolean 'passes this rule' so downstream filters compose with
+    simple AND/OR and audits can count failures per rule. All built-in
+    expressions; the thresholds are the published-rule defaults scaled
+    to short synthetic docs via parameters."""
+    toks = tokens(col)
+    n_words = F.size(toks)
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+        / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    # symbol ratio per the published rule: '#' and '...' occurrences
+    # over words (length difference after deleting the symbol — no
+    # per-char UDF, stays in codegen)
+    n_chars = F.length(col)
+    hash_count = n_chars - F.length(F.regexp_replace(col, "#", ""))
+    ellipsis_count = (n_chars - F.length(F.regexp_replace(col, r"\.\.\.", ""))) / 3
+    symbol_ratio = F.when(
+        n_words > 0, (hash_count + ellipsis_count) / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    return F.struct(
+        ((n_words >= min_words) & (n_words <= max_words)).alias("word_count_ok"),
+        ((mean_wl >= mean_word_len_bounds[0]) & (mean_wl <= mean_word_len_bounds[1])).alias(
+            "mean_word_len_ok"
+        ),
+        (symbol_ratio <= max_symbol_ratio).alias("symbol_ratio_ok"),
+        (duplicate_line_ratio(col) <= max_dup_line_ratio).alias("dup_lines_ok"),
+    )
