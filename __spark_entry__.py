@@ -956,6 +956,28 @@ def q_media_audio_frames_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked eval-set decontamination (new round 4): a
+    deterministic 3% md5-bucket sample of documents plays the eval set;
+    every remaining training doc sharing at least one lowercased
+    word-5-gram with it is flagged with its distinct shared-gram count.
+    The eval side reduces to distinct grams and BROADCASTS — the
+    training scan never shuffles text. hashed=False joins on the gram
+    string (the DuckDB-replayable family); production uses
+    hashed=True's 8-byte xxhash64 keys."""
+    from xsd2json_spark.functions import sampling as SP
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    bucket = SP.hash_bucket(["doc_id"], seed=11, family="md5")
+    eval_df = docs.filter(bucket < 30_000)
+    train = docs.filter(bucket >= 30_000)
+    out = D.ngram_contamination(train, eval_df, "doc_id", "text", n=5, hashed=False)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_shared_grams").cast("long").alias("n_shared_grams"),
+    )
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-checked repetition signals (new round 4): duplicate-line
     ratio and top-bigram share per document — the Gopher-family
@@ -1160,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cv_drift_chi2_by_stat": q_cv_drift_chi2_by_stat,
         "cv_drift_by_lang": q_cv_drift_by_lang,
         "cv_resume_lineage": q_cv_resume_lineage,
+        "doc_contamination": q_doc_contamination,
         "doc_repetition": q_doc_repetition,
         "doc_quality_flags": q_doc_quality_flags,
         "cv_incremental_verdicts": q_cv_incremental_verdicts,
@@ -1394,6 +1417,31 @@ def _drift_verdict_by_lang_oracle() -> str:
 #: whitespace tokens (Spark tokens()) and trimmed non-blank lines
 _DD_WORDS = r"list_filter(string_split_regex({t}, '\s+'), x -> x <> '')"
 _DD_LINES = r"list_filter(list_transform(string_split({t}, chr(10)), x -> trim(x)), x -> len(x) > 0)"
+
+
+def _contamination_oracle() -> str:
+    words = _DD_WORDS.format(t="lower(text)")
+    bucket = _md5_bucket_sql("CAST(doc_id AS VARCHAR)", 11)
+    gram = " || ' ' || ".join(f"w[i + {j}]" for j in range(5))
+    return f"""
+        WITH d AS (
+            SELECT doc_id, {words} AS w, {bucket} AS bk
+            FROM documents WHERE text IS NOT NULL
+        ),
+        g AS (
+            SELECT doc_id, bk, unnest(
+                CASE WHEN len(w) >= 5
+                     THEN list_transform(range(1, len(w) - 3), i -> {gram})
+                     ELSE [] END) AS gm
+            FROM d
+        ),
+        eg AS (SELECT DISTINCT gm FROM g WHERE bk < 30000),
+        tg AS (SELECT DISTINCT doc_id, gm FROM g WHERE bk >= 30000)
+        SELECT CAST(tg.doc_id AS BIGINT) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_shared_grams
+        FROM tg JOIN eg ON eg.gm = tg.gm
+        GROUP BY tg.doc_id
+    """
 
 
 def _repetition_oracle() -> str:
@@ -1804,6 +1852,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cv_drift_ks_stat": _ks_stat_oracle(),
         "cv_drift_ks_by_stat": _ks_by_stat_oracle(),
+        "doc_contamination": _contamination_oracle(),
         "doc_repetition": _repetition_oracle(),
         "doc_quality_flags": _quality_flags_oracle(),
         "cv_incremental_verdicts": _incremental_oracle(),

@@ -287,3 +287,33 @@ def test_dedup_survivors_keeps_min_per_group_and_untouched_rows(spark):
     kept = sorted(r["doc_id"] for r in D.dedup_survivors(df, pairs, "doc_id").collect())
     # group {0,3,5} -> keep 0; group {1,6} -> keep 1; 2,4,7 untouched
     assert kept == [0, 1, 2, 4, 7]
+
+
+def test_ngram_contamination_planted(spark):
+    """Planted contamination: one training doc embeds an eval sentence
+    verbatim (5-gram overlap), one shares only a 4-word prefix (no
+    5-gram), the rest are clean. Both hash families agree, and the eval
+    side broadcasts (no sort-merge join on the training scan)."""
+    evals = spark.createDataFrame(
+        [(900, "the secret benchmark answer is forty two exactly")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words then THE SECRET benchmark answer IS forty two exactly end"),
+            (2, "the secret benchmark answer only four shared words here"),
+            (3, "completely unrelated training content with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    for hashed in (False, True):
+        got = {
+            r["doc_id"]: r["n_shared_grams"]
+            for r in D.ngram_contamination(train, evals, "doc_id", "text", n=5, hashed=hashed).collect()
+        }
+        # doc 1 embeds the full 8-token eval sentence -> 4 distinct 5-grams
+        assert got == {1: 4}, (hashed, got)
+
+    out = D.ngram_contamination(train, evals, "doc_id", "text", n=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan

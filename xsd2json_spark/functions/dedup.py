@@ -729,3 +729,52 @@ def embedding_near_dups(
         .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def word_ngrams(col: Column, n: int = 8) -> Column:
+    """Word n-grams of lowercased whitespace tokens (array<string>);
+    docs with fewer than n tokens yield an empty array."""
+    from xsd2json_spark.functions.text import tokens
+
+    toks = tokens(F.lower(col))
+    cnt = F.size(toks) - (n - 1)
+    return F.when(cnt <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), cnt), lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    hashed: bool = True,
+) -> DataFrame:
+    """Eval-set decontamination: flag every training document sharing at
+    least one word n-gram with the eval corpus, with the count of
+    distinct shared grams. Returns (id, n_shared_grams).
+
+    Shape for 100 TB training vs a benchmark-sized eval set: the eval
+    side reduces to DISTINCT grams and BROADCASTS — the training scan
+    is one pass, never shuffled on text. hashed=True joins on
+    xxhash64(gram) (8-byte broadcast entries, the production default —
+    an eval set of 10M grams broadcasts in ~80 MB); hashed=False joins
+    on the gram string, which a DuckDB oracle replays verbatim. A
+    same-text gram matches either way; hash collisions at 64 bits are
+    ~n_grams^2 / 2^64 — negligible for decontamination (and
+    conservative: a collision only over-flags)."""
+    key = (lambda g: F.xxhash64(g)) if hashed else (lambda g: g)
+    eg = (
+        eval_df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("__g"))
+        .select(key(F.col("__g")).alias("__k"))
+        .distinct()
+    )
+    tg = train.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("__g")
+    ).select(id_col, key(F.col("__g")).alias("__k")).dropDuplicates([id_col, "__k"])
+    return (
+        tg.join(F.broadcast(eg), "__k")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
