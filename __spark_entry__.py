@@ -956,6 +956,29 @@ def q_media_audio_frames_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked training-sequence packing (new round 4):
+    deterministic shard-then-pack layout — shard = md5 key-hash bucket
+    mod 8, pack = contiguous next-fit over the per-shard exclusive
+    cumulative n_chars with a 2000-char budget. Window expressions
+    only; DuckDB replays the identical window. Returns per-pack fill
+    stats (the packing-quality audit)."""
+    from xsd2json_spark.functions import packing as PK
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    packed = PK.pack_documents(
+        docs, "doc_id", "n_chars", budget=2000, n_shards=8, seed=5, family="md5"
+    )
+    return PK.pack_stats(packed, "n_chars").select(
+        F.col("shard").cast("long").alias("shard"),
+        F.col("pack_id").cast("long").alias("pack_id"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("token_sum").cast("long").alias("token_sum"),
+    )
+
+
 def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-checked eval-set decontamination (new round 4): a
     deterministic 3% md5-bucket sample of documents plays the eval set;
@@ -1182,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cv_drift_chi2_by_stat": q_cv_drift_chi2_by_stat,
         "cv_drift_by_lang": q_cv_drift_by_lang,
         "cv_resume_lineage": q_cv_resume_lineage,
+        "doc_packing": q_doc_packing,
         "doc_contamination": q_doc_contamination,
         "doc_repetition": q_doc_repetition,
         "doc_quality_flags": q_doc_quality_flags,
@@ -1417,6 +1441,29 @@ def _drift_verdict_by_lang_oracle() -> str:
 #: whitespace tokens (Spark tokens()) and trimmed non-blank lines
 _DD_WORDS = r"list_filter(string_split_regex({t}, '\s+'), x -> x <> '')"
 _DD_LINES = r"list_filter(list_transform(string_split({t}, chr(10)), x -> trim(x)), x -> len(x) > 0)"
+
+
+def _packing_oracle() -> str:
+    bucket = _md5_bucket_sql("CAST(doc_id AS VARCHAR)", 5)
+    return f"""
+        WITH d AS (
+            SELECT doc_id, n_chars, ({bucket}) % 8 AS shard
+            FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+        ),
+        p AS (
+            SELECT shard,
+                   CAST(floor(coalesce(sum(n_chars) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / 2000) AS BIGINT) AS pack_id,
+                   n_chars
+            FROM d
+        )
+        SELECT CAST(shard AS BIGINT) AS shard, pack_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS token_sum
+        FROM p GROUP BY shard, pack_id
+    """
 
 
 def _contamination_oracle() -> str:
@@ -1852,6 +1899,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cv_drift_ks_stat": _ks_stat_oracle(),
         "cv_drift_ks_by_stat": _ks_by_stat_oracle(),
+        "doc_packing": _packing_oracle(),
         "doc_contamination": _contamination_oracle(),
         "doc_repetition": _repetition_oracle(),
         "doc_quality_flags": _quality_flags_oracle(),
