@@ -666,6 +666,7 @@ def embedding_near_dups(
     planes_per_band: int = 4,
     seed: int = 42,
     use_arrow: bool | None = None,
+    cache_base: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded hyperplane LSH:
       sign-bit bucket per band -> per-(band, bucket) self-join ->
@@ -688,7 +689,15 @@ def embedding_near_dups(
     per ROW the interpreted higher-order folds pay ~n_planes x dim
     lambda evaluations where the Arrow path is one record-batch BLAS
     matmul. use_arrow=False forces the pure-expression plan (no Python
-    — the DuckDB-oracle configuration, test-asserted equal to Arrow)."""
+    — the DuckDB-oracle configuration, test-asserted equal to Arrow).
+
+    cache_base persists the (id, band, bucket) keying: ReuseExchange
+    does NOT canonicalize across the Python-UDF self-join, so without
+    it the bucket computation runs once per join side (measured 2x
+    ArrowEvalPython[_buckets] in the plan). The persisted keying is
+    3 longs x n_bands per row; at warehouse scale write it to a table
+    instead (the build_minhash_base precedent) and set
+    cache_base=False."""
     from xsd2json_spark.functions.similarity import cosine
 
     planes = band_planes(dim, n_bands, planes_per_band, seed)
@@ -703,6 +712,8 @@ def embedding_near_dups(
         keyed = df.select(F.col(id_col).alias("__id"), F.explode(bands).alias("__bb")).select(
             "__id", F.col("__bb.band").alias("__band"), F.col("__bb.bucket").alias("__bucket")
         )
+    if cache_base:
+        keyed = keyed.persist()
     left, right = keyed.alias("l"), keyed.alias("r")
     cand = (
         left.join(
