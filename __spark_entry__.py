@@ -1115,6 +1115,23 @@ def q_doc_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked end-to-end dedup (new round 4): the full user
+    story — near-dup pairs (md5 MinHash LSH) -> connected components ->
+    keep only each group's min-id representative, untouched docs
+    surviving as-is. DuckDB replays with the recursive-CTE components
+    as the drop list."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 300) & F.col("text").isNotNull()
+    )
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.5, family="md5", hashed_bands=False
+    )
+    return D.dedup_survivors(docs, pairs, "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
 def q_doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-checked deterministic train/val/test split (new round 4):
     the split label is a pure function of the key's md5 bucket
@@ -1211,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_flags": q_doc_quality_flags,
         "cv_incremental_verdicts": q_cv_incremental_verdicts,
         "doc_dup_components": q_doc_dup_components,
+        "doc_dedup_survivors": q_doc_dedup_survivors,
         "doc_split_counts": q_doc_split_counts,
         "doc_stratified_sample": q_doc_stratified_sample,
         "media_image_features": q_media_image_features,
@@ -1634,6 +1652,19 @@ def _dup_components_oracle() -> str:
     """
 
 
+def _dedup_survivors_oracle() -> str:
+    """DuckDB replay of q_doc_dedup_survivors: components (recursive
+    CTE) -> drop every member whose id differs from its component's
+    min; docs in no pair survive untouched."""
+    return f"""
+        WITH comp AS ({_dup_components_oracle()})
+        SELECT CAST(doc_id AS BIGINT) AS doc_id
+        FROM documents
+        WHERE doc_id < 300 AND text IS NOT NULL
+          AND doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+    """
+
+
 def _md5_bucket_sql(key_sql: str, seed: int) -> str:
     """DuckDB replay of sampling.hash_bucket(family='md5'): first 15
     hex digits of md5('<seed>|' || key) as a BIGINT (strpos hexval —
@@ -1905,6 +1936,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_flags": _quality_flags_oracle(),
         "cv_incremental_verdicts": _incremental_oracle(),
         "doc_dup_components": _dup_components_oracle(),
+        "doc_dedup_survivors": _dedup_survivors_oracle(),
         "doc_split_counts": _split_counts_oracle(),
         "doc_stratified_sample": _stratified_sample_oracle(),
         "cv_drift_chi2": _drift_verdict_oracle(),
