@@ -65,6 +65,32 @@ def test_sampling_validation_errors(spark):
         SP.hash_bucket(["doc_id"], family="sha1")
 
 
+def test_multi_column_key_collision_classes(spark):
+    """The two collision families concat_ws-style keying would merge —
+    boundary ambiguity ('a|b','c') vs ('a','b|c') and null skipping
+    (NULL,'x') vs ('x',NULL) — must land in distinct buckets for BOTH
+    hash families (md5 escapes the join; xxhash64 interleaves is-null
+    flags into the native fold)."""
+    rows = [("a|b", "c"), ("a", "b|c"), (None, "x"), ("x", None), ("\\N", "x")]
+    df = spark.createDataFrame(rows, ["k1", "k2"])
+    for fam in ("xxhash64", "md5"):
+        got = [r["b"] for r in df.select(SP.hash_bucket(["k1", "k2"], family=fam).alias("b")).collect()]
+        assert len(set(got)) == len(got), (fam, got)
+
+
+def test_md5_escape_preserves_simple_key_preimage(spark):
+    """Shipped oracle fragments build md5('<seed>|' || key) for single
+    pipe-free non-null keys — the escape layer must leave that exact
+    pre-image (hence the bucket) unchanged."""
+    import hashlib
+
+    df = spark.createDataFrame([(str(i),) for i in range(50)], ["k"])
+    got = {r["k"]: r["b"] for r in df.select("k", SP.hash_bucket(["k"], seed=42, family="md5").alias("b")).collect()}
+    for k, b in got.items():
+        expect = int(hashlib.md5(f"42|{k}".encode()).hexdigest()[:15], 16) % SP.BUCKETS
+        assert b == expect
+
+
 def test_sample_predicate_reaches_the_scan(spark):
     """The membership filter is a pure expression over scan columns, so
     it must appear as a data filter (not post-shuffle) in the plan —

@@ -29,18 +29,40 @@ from pyspark.sql import functions as F
 BUCKETS = 1_000_000
 
 
+def _escaped_key(c: Column) -> Column:
+    """Collision-proof key fragment, mirroring drift.group_key: NULL
+    gets its own token (concat_ws would silently SKIP it, merging
+    (NULL,'x') with ('x',NULL)) and backslash/'|' are escaped so the
+    '|' join is unambiguous (('a|b','c') vs ('a','b|c')). Single
+    pipe-free non-null values — every shipped oracle key — are
+    unchanged, so the DuckDB replay fragments stay valid."""
+    s = F.regexp_replace(F.regexp_replace(c.cast("string"), r"\\", r"\\\\"), r"\|", r"\\|")
+    return F.coalesce(s, F.lit("\\N"))
+
+
 def hash_bucket(key_cols, seed: int = 42, family: str = "xxhash64") -> Column:
     """Uniform bucket in [0, BUCKETS) as a pure function of the key.
 
     md5 family derives the bucket from the first 15 hex digits (60
     bits, well under a long) of md5('<seed>|' || key || ...) — exactly
     reproducible in DuckDB as
-    ``conv(substring(md5(...), 1, 15), 16, 10) % 1000000``."""
+    ``conv(substring(md5(...), 1, 15), 16, 10) % 1000000``. Multi-column
+    keys are escape-joined (see _escaped_key). The xxhash64 family
+    hashes columns natively (column boundaries are fold steps, so no
+    join ambiguity and no string casts in the hot path) but Spark's
+    hash fold SKIPS null columns — which would merge (NULL,'x') with
+    ('x',NULL) — so an is-null flag is interleaved before each column:
+    the flag participates in the fold even when the value is skipped,
+    making null position part of the key."""
     cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
     if family == "xxhash64":
-        h = F.abs(F.xxhash64(*cols, F.lit(seed)))
+        flagged: list[Column] = []
+        for c in cols:
+            flagged.append(c.isNull().cast("int"))
+            flagged.append(c)
+        h = F.abs(F.xxhash64(*flagged, F.lit(seed)))
     elif family == "md5":
-        joined = F.concat_ws("|", F.lit(str(seed)), *[c.cast("string") for c in cols])
+        joined = F.concat_ws("|", F.lit(str(seed)), *[_escaped_key(c) for c in cols])
         h = F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
     else:
         raise ValueError(f"unknown hash family {family!r}")
