@@ -27,6 +27,17 @@ def test_oracle_keys_subset():
     assert len(os_) >= 12
 
 
+def test_first_50_queries_all_oracle_able():
+    """The driver's CORRECTNESS capture records only the first 50
+    queries() entries (dict order). Every captured slot must carry a
+    DuckDB oracle — rows-only and redundant-witness queries belong past
+    position 50 (round-4 verdict headline: five green oracle queries
+    fell off the end)."""
+    qs, os_ = list(E.queries()), set(E.oracle_sql())
+    missing = [q for q in qs[:50] if q not in os_]
+    assert missing == [], f"rows-only queries inside the 50-row capture: {missing}"
+
+
 @pytest.mark.parametrize("name", sorted(E.queries()))
 def test_each_query_runs(spark, name):
     df = E.queries()[name](spark, SF)
