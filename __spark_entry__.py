@@ -971,11 +971,13 @@ def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = PK.pack_documents(
         docs, "doc_id", "n_chars", budget=2000, n_shards=8, seed=5, family="md5"
     )
-    return PK.pack_stats(packed, "n_chars").select(
+    return PK.pack_stats(packed, "n_chars", budget=2000).select(
         F.col("shard").cast("long").alias("shard"),
         F.col("pack_id").cast("long").alias("pack_id"),
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("token_sum").cast("long").alias("token_sum"),
+        F.col("overflowed"),
+        F.col("oversized_doc"),
     )
 
 
@@ -1487,7 +1489,9 @@ def _packing_oracle() -> str:
         )
         SELECT CAST(shard AS BIGINT) AS shard, pack_id,
                CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(n_chars) AS BIGINT) AS token_sum
+               CAST(sum(n_chars) AS BIGINT) AS token_sum,
+               sum(n_chars) > 2000 AS overflowed,
+               max(n_chars) > 2000 AS oversized_doc
         FROM p GROUP BY shard, pack_id
     """
 

@@ -18,9 +18,33 @@ def test_pack_documents_hand_values(spark):
     assert [rows[i]["pack_pos"] for i in (1, 2, 3, 4)] == [0, 1, 2, 3]
     assert all(rows[i]["shard"] == 0 for i in rows)
 
-    stats = {r["pack_id"]: r for r in PK.pack_stats(out, "n_tok").collect()}
+    stats = {r["pack_id"]: r for r in PK.pack_stats(out, "n_tok", budget=100).collect()}
     assert stats[0]["n_docs"] == 2 and stats[0]["token_sum"] == 110  # overflow doc rides its pack
     assert stats[1]["n_docs"] == 2 and stats[1]["token_sum"] == 110
+    # both packs crossed the budget via a normal crossing doc, neither
+    # contains a single doc larger than the budget
+    assert all(stats[p]["overflowed"] for p in (0, 1))
+    assert not any(stats[p]["oversized_doc"] for p in (0, 1))
+
+
+def test_pack_oversized_document_policy(spark):
+    """A single document larger than the budget: it keeps exactly one
+    pack_id, its pack is flagged oversized_doc, and the shard's later
+    pack ids skip numbers (floor jumps) rather than silently splitting
+    or truncating the document."""
+    df = spark.createDataFrame(
+        [(1, 50), (2, 350), (3, 40), (4, 30)], "doc_id long, n_tok long"
+    )
+    out = PK.pack_documents(df, "doc_id", "n_tok", budget=100, n_shards=1)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # excl cumsums [0, 50, 400, 440] -> packs [0, 0, 4, 4]: ids 1-3 skipped
+    assert [rows[i]["pack_id"] for i in (1, 2, 3, 4)] == [0, 0, 4, 4]
+    stats = {r["pack_id"]: r for r in PK.pack_stats(out, "n_tok", budget=100).collect()}
+    assert set(stats) == {0, 4}
+    assert stats[0]["oversized_doc"] and stats[0]["overflowed"]
+    assert not stats[4]["oversized_doc"] and not stats[4]["overflowed"]
+    # without a budget the audit columns are absent (back-compat shape)
+    assert set(PK.pack_stats(out, "n_tok").columns) == {"shard", "pack_id", "n_docs", "token_sum"}
 
 
 def test_pack_documents_deterministic_and_partition_stable(spark):

@@ -57,12 +57,24 @@ def pack_documents(
     )
 
 
-def pack_stats(packed: DataFrame, token_col: str) -> DataFrame:
+def pack_stats(packed: DataFrame, token_col: str, budget: "int | None" = None) -> DataFrame:
     """Per-(shard, pack) fill statistics — the packing-quality audit:
-    n_docs, token_sum, and whether the pack overflowed its budget
-    (every pack except a shard's last should sit in
-    (budget - max_doc_tokens, budget + last_doc_tokens])."""
-    return packed.groupBy("shard", "pack_id").agg(
+    n_docs, token_sum, and (when ``budget`` is given) the overflow
+    flags. ``overflowed`` marks a pack whose token_sum exceeds the
+    budget — expected for every non-final pack under next-fit, since
+    the crossing document lands in the pack it started in.
+    ``oversized_doc`` marks the pathological case: a SINGLE document
+    larger than the budget. Such a document still gets exactly one
+    pack_id (floor of its exclusive cumsum), but the following pack ids
+    in its shard skip numbers (floor jumps by >1) and the pack can't be
+    trained on without splitting — the flag is the downstream signal to
+    chunk or drop it. Policy: packing never silently truncates; audit
+    and decide."""
+    aggs = [
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_col).alias("token_sum"),
-    )
+    ]
+    if budget is not None:
+        aggs.append((F.sum(token_col) > F.lit(budget)).alias("overflowed"))
+        aggs.append((F.max(token_col) > F.lit(budget)).alias("oversized_doc"))
+    return packed.groupBy("shard", "pack_id").agg(*aggs)
