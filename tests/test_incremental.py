@@ -112,3 +112,64 @@ def test_incremental_per_partition_spec(spark):
     assert inc == full
     # the brand-new partition composed from zero (keys are to_json structs)
     assert inc[('{"grp":"g9"}', "t_nn")] == 1
+
+
+def test_incremental_drained_partition_emits_no_row(spark):
+    """A partition whose rows are ALL deleted in the new snapshot must
+    vanish from the composed verdicts, exactly as it does in a
+    from-scratch run (which has no rows to group for it)."""
+    spec = spec_from_dict(
+        {
+            "name": "incd",
+            "key_columns": ["doc_id"],
+            "partition_by": ["grp"],
+            "constraints": [{"kind": "not_null", "id": "t_nn", "column": "text"}],
+        }
+    )
+    a = spark.createDataFrame(
+        [(1, "keep", "x"), (2, "keep", None), (3, "gone", "y"), (4, "gone", None)],
+        "doc_id long, grp string, text string",
+    )
+    b = a.filter(F.col("grp") == "keep")
+    prev = ValidationEngine(spark, spec).run(a).verdicts
+    inc = {
+        (r["partition_key"], r["constraint_id"]): r["violation_count"]
+        for r in incremental_verdicts(spark, spec, a, b, prev).collect()
+    }
+    full = {
+        (r["partition_key"], r["constraint_id"]): r["violation_count"]
+        for r in ValidationEngine(spark, spec).run(b).verdicts.collect()
+    }
+    assert inc == full
+    assert ('{"grp":"gone"}', "t_nn") not in inc
+
+
+def test_snapshot_delta_sees_multiplicity_changes(spark):
+    """Duplicate keys (nothing enforces uniqueness): a (key, payload)
+    whose copy-count changes must surface the NET copies in
+    added/removed, and the composed row counters must match a full
+    recompute — existence anti-joins would miss the change entirely."""
+    a = spark.createDataFrame(
+        [(1, "dup"), (1, "dup"), (2, None), (2, None), (2, None), (3, "solo")],
+        "doc_id long, text string",
+    )
+    # B: one more copy of (1,'dup'), one fewer of (2,NULL)
+    b = spark.createDataFrame(
+        [(1, "dup"), (1, "dup"), (1, "dup"), (2, None), (2, None), (3, "solo")],
+        "doc_id long, text string",
+    )
+    added, removed = snapshot_delta(a, b, ["doc_id"])
+    assert [tuple(r) for r in added.collect()] == [(1, "dup")]
+    assert [tuple(r) for r in removed.collect()] == [(2, None)]
+    spec = spec_from_dict(
+        {
+            "name": "incm",
+            "key_columns": ["doc_id"],
+            "constraints": [{"kind": "not_null", "id": "t_nn", "column": "text"}],
+        }
+    )
+    prev = ValidationEngine(spark, spec).run(a).verdicts
+    inc = vmap(incremental_verdicts(spark, spec, a, b, prev))
+    full = vmap(ValidationEngine(spark, spec).run(b).verdicts)
+    assert inc == full
+    assert inc["t_nn"] == (2, False)  # the deleted NULL copy composed out

@@ -43,6 +43,7 @@ from dataclasses import replace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from xsd2json_spark.engine.validate import VERDICT_COLUMNS, ValidationEngine
 from xsd2json_spark.spec.constraints import Spec
@@ -56,16 +57,30 @@ def snapshot_delta(
     defaults to every non-key column. An updated row (same key, changed
     payload) appears in BOTH outputs — which is exactly what makes the
     count composition exact. Anti-joins shuffle the 32-byte
-    fingerprint + keys, never the payload."""
+    fingerprint + keys, never the payload.
+
+    Nothing enforces key uniqueness, so the diff is MULTISET-aware: an
+    occurrence index (row_number per (key, fingerprint) group) joins
+    alongside the fingerprint, so a (key, payload) combination whose
+    multiplicity changes between snapshots surfaces the net copies in
+    added/removed — a plain existence anti-join would see no change and
+    the composed row counters would drift. Rows within a group are
+    interchangeable by construction when payload_cols covers every
+    non-key column (the default); with an explicit narrower
+    payload_cols the caller has declared the remaining columns
+    irrelevant to the diff."""
     keys = list(key_columns)
     if payload_cols is None:
         payload_cols = [c for c in cur_df.columns if c not in keys]
     fp = F.sha2(F.to_json(F.struct(*[F.col(c) for c in payload_cols])), 256)
-    on = keys + ["__fp"]
-    prev_k = prev_df.withColumn("__fp", fp)
-    cur_k = cur_df.withColumn("__fp", fp)
-    added = cur_k.join(prev_k.select(*on), on, "left_anti").drop("__fp")
-    removed = prev_k.join(cur_k.select(*on), on, "left_anti").drop("__fp")
+    occ = F.row_number().over(
+        Window.partitionBy(*keys, "__fp").orderBy(F.lit(1))
+    )
+    on = keys + ["__fp", "__occ"]
+    prev_k = prev_df.withColumn("__fp", fp).withColumn("__occ", occ)
+    cur_k = cur_df.withColumn("__fp", fp).withColumn("__occ", occ)
+    added = cur_k.join(prev_k.select(*on), on, "left_anti").drop("__fp", "__occ")
+    removed = prev_k.join(cur_k.select(*on), on, "left_anti").drop("__fp", "__occ")
     return added, removed
 
 
@@ -107,9 +122,16 @@ def incremental_row_verdicts(
         (z("__pv") + z("__av") - z("__rv")).alias("violation_count"),
         (z("__pe") + z("__ae") - z("__re")).alias("evaluated_count"),
     ).withColumn("passed", F.col("violation_count") == 0)
-    # a grand-aggregate engine emits one row even for an EMPTY delta
-    # (vacuous counters on added/removed) — those zero-delta rows are
-    # already correct; nothing to filter.
+    if engine.spec.partition_by:
+        # a partition exists iff it has rows (evaluated_count is the
+        # per-partition row count, identical across constraints): a
+        # partition fully drained by the delta composes to
+        # (0, 0, passed) here, but a from-scratch run emits NO row for
+        # it — drop the vacuous rows so the two agree.
+        out = out.filter(F.col("evaluated_count") > 0)
+    # in global mode the grand aggregate emits one row even for an
+    # EMPTY table (vacuous pass), so zero-evaluated rows are kept —
+    # they match the from-scratch shape.
     return out.select(*VERDICT_COLUMNS)
 
 
