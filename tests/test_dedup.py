@@ -279,6 +279,22 @@ def test_connected_components_shapes(spark):
     assert D.connected_components(empty).collect() == []
 
 
+def test_connected_components_leaves_no_persisted_tables(spark):
+    """Every intermediate persist is released on return (and the final
+    labels are localCheckpoint-ed, not persisted) — repeated dedup
+    calls must not accumulate cached DataFrames in executor storage
+    for the session's lifetime."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    df = spark.createDataFrame([(i, i + 1) for i in range(9)], "id_a long, id_b long")
+    out = D.connected_components(df)
+    assert out.count() == 10
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before, f"leaked {after - before} persisted tables"
+    # the result stays usable after the internal unpersists
+    assert {r["comp"] for r in out.collect()} == {0}
+
+
 def test_dedup_survivors_keeps_min_per_group_and_untouched_rows(spark):
     """dedup_survivors drops every group member except the min id;
     rows that appear in no pair survive untouched."""

@@ -34,6 +34,7 @@ as the salt so hot keys partial-aggregate locally before the shuffle.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 from typing import Dict, Optional
 
@@ -59,13 +60,23 @@ VIOLATION_EXTRA = ["constraint_id", "detail"]
 #: exact path's per-group full materialization stops being safe)
 QUANTILE_EXACT_MAX_BYTES = 256 * 1024 * 1024
 
+_log = logging.getLogger(__name__)
+
 
 def _resolve_quantile_approx(approx: Optional[bool], src: DataFrame) -> bool:
     """Three-valued Quantile.approx -> concrete plan choice. None =
     auto: exact only when Catalyst's sizeInBytes estimate for the
     (filtered) input is provably small; a missing/huge estimate picks
     the GK sketch, so UNKNOWN defaults to the scale-safe mergeable
-    aggregate (the EMB_ARROW_THRESHOLD auto-dispatch precedent)."""
+    aggregate (the EMB_ARROW_THRESHOLD auto-dispatch precedent).
+
+    Auto mode trades bit-for-bit cross-environment determinism for
+    scale safety — the size estimate depends on source format, caching
+    and stats, so the SAME spec can resolve differently elsewhere.
+    Every auto resolution is logged (estimate + threshold + choice) so
+    a statistic/verdict difference between two runs is attributable;
+    specs that feed an oracle or a regression gate should pin
+    approx=True/False explicitly."""
     if approx is not None:
         return approx
     try:
@@ -73,8 +84,15 @@ def _resolve_quantile_approx(approx: Optional[bool], src: DataFrame) -> bool:
         # JavaObject should that mapping ever change
         size = int(str(src._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
     except Exception:
+        _log.info("quantile auto-dispatch: size estimate unavailable -> GK sketch")
         return True
-    return size > QUANTILE_EXACT_MAX_BYTES
+    use_approx = size > QUANTILE_EXACT_MAX_BYTES
+    _log.info(
+        "quantile auto-dispatch: sizeInBytes=%d threshold=%d -> %s",
+        size, QUANTILE_EXACT_MAX_BYTES,
+        "GK sketch (percentile_approx)" if use_approx else "exact percentile",
+    )
+    return use_approx
 
 
 @dataclass

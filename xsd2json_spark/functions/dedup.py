@@ -371,7 +371,12 @@ def connected_components(
     practice. Each round persists its label table and unpersists the
     previous one (truncates the iterative lineage — the standard Spark
     iterative-algorithm discipline). The per-round count() action is
-    the convergence test, O(#nodes) not O(#rows).
+    the convergence test, O(#nodes) not O(#rows). The FINAL labels are
+    localCheckpoint-ed (eager; tiny — two ids per node) and every
+    intermediate persist is released before returning, so repeated
+    calls leave nothing cached in executor storage and the returned
+    DataFrame is lineage-free (no recompute of the iteration on
+    reuse).
 
     Raises after ``max_iter`` rounds without convergence rather than
     returning silently-partial components."""
@@ -405,13 +410,16 @@ def connected_components(
             labels.unpersist()
             labels = new_labels
             if changed == 0:
-                return labels.select("id", "comp")
+                return labels.select("id", "comp").localCheckpoint(eager=True)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"(pathological graph diameter?)"
         )
     finally:
+        # runs after the checkpoint materialized (or on the error
+        # path): no label table stays persisted either way
         edges.unpersist()
+        labels.unpersist()
 
 
 def dedup_survivors(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
