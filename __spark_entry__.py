@@ -1097,6 +1097,54 @@ def q_cv_incremental_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cv_incremental_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked incremental uniqueness via the materialized keyed
+    count table (new round 5): snapshot A duplicates every doc_id % 10
+    == 3 row of documents; snapshot B deletes doc_id >= 480, drops the
+    extra copy where doc_id % 20 == 3, adds a copy of every % 10 == 7
+    row, and rewrites text where % 13 == 0 (a payload-only update the
+    unique state must compose through as +1/-1 = 0). Spark NEVER groups
+    B's keys: it composes A's unique_key_counts state with the
+    multiset-aware snapshot delta and reads duplicates straight off the
+    composed counts — the batch form of the streaming uniqueness state.
+    DuckDB replays a from-scratch GROUP BY ... HAVING on B; equality
+    proves the state composition exact (including mixed-payload
+    duplicates like doc_id=13, whose two copies differ in text)."""
+    from xsd2json_spark.engine.incremental import (
+        compose_unique_counts,
+        snapshot_delta,
+        unique_key_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.unionByName(docs.filter(F.col("doc_id") % 10 == 3))
+    b = (
+        docs.filter(F.col("doc_id") < 480)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 13 == 0, F.lit("rewritten in snapshot B"))
+            .otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") % 10 == 3)
+                & (F.col("doc_id") % 20 != 3)
+                & (F.col("doc_id") < 480)
+            )
+        )
+        .unionByName(
+            docs.filter((F.col("doc_id") % 10 == 7) & (F.col("doc_id") < 480))
+        )
+    )
+    state = unique_key_counts(a, ["doc_id"])
+    added, removed = snapshot_delta(a, b, ["doc_id"])
+    composed = compose_unique_counts(state, added, removed, ["doc_id"])
+    return composed.filter(F.col("n") > 1).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n").cast("long").alias("dup_count"),
+    )
+
+
 def q_doc_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-checked dedup group assembly (new round 4): connected
     components over the md5 MinHash near-dup PAIR graph — the step
@@ -1215,7 +1263,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cv_drift_psi_stat": q_cv_drift_psi_stat,
         "doc_top_terms": q_doc_top_terms,
         "cv_drift_ks_stat": q_cv_drift_ks_stat,
-        "cv_drift_ks_by_stat": q_cv_drift_ks_by_stat,
         "cv_drift_chi2_by_stat": q_cv_drift_chi2_by_stat,
         "cv_drift_by_lang": q_cv_drift_by_lang,
         "cv_resume_lineage": q_cv_resume_lineage,
@@ -1224,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_quality_flags": q_doc_quality_flags,
         "cv_incremental_verdicts": q_cv_incremental_verdicts,
+        "cv_incremental_unique": q_cv_incremental_unique,
         "doc_dup_components": q_doc_dup_components,
         "doc_dedup_survivors": q_doc_dedup_survivors,
         "doc_split_counts": q_doc_split_counts,
@@ -1234,9 +1282,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the driver's 50-row CORRECTNESS capture from here ---
         # Oracle-able but redundant witnesses (spilled by the 50-row
         # cap; replayable any time via tools/check_oracle.py):
-        # doc_langid is the legacy heuristic superseded by
-        # doc_langid_ngram; doc_simhash_pairs_md5's simhash kernel is
-        # already hash-checked by doc_simhash.
+        # cv_drift_ks_by_stat's per-group KS spine is the same code
+        # path as the witnessed cv_drift_ks_stat (global) and
+        # cv_drift_chi2_by_stat (per-group); doc_langid is the legacy
+        # heuristic superseded by doc_langid_ngram;
+        # doc_simhash_pairs_md5's simhash kernel is already
+        # hash-checked by doc_simhash.
+        "cv_drift_ks_by_stat": q_cv_drift_ks_by_stat,
         "doc_langid": q_doc_langid,
         "doc_simhash_pairs_md5": q_doc_simhash_pairs_md5,
         # Rows-only by design (xxhash64 / BPE / fake-codec paths have
@@ -1947,6 +1999,20 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": _repetition_oracle(),
         "doc_quality_flags": _quality_flags_oracle(),
         "cv_incremental_verdicts": _incremental_oracle(),
+        "cv_incremental_unique": """
+            WITH b AS (
+                SELECT doc_id FROM documents WHERE doc_id < 480
+                UNION ALL
+                SELECT doc_id FROM documents
+                WHERE doc_id % 10 = 3 AND doc_id % 20 != 3 AND doc_id < 480
+                UNION ALL
+                SELECT doc_id FROM documents
+                WHERE doc_id % 10 = 7 AND doc_id < 480
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS dup_count
+            FROM b GROUP BY doc_id HAVING count(*) > 1
+        """,
         "doc_dup_components": _dup_components_oracle(),
         "doc_dedup_survivors": _dedup_survivors_oracle(),
         "doc_split_counts": _split_counts_oracle(),

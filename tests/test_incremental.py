@@ -173,3 +173,89 @@ def test_snapshot_delta_sees_multiplicity_changes(spark):
     full = vmap(ValidationEngine(spark, spec).run(b).verdicts)
     assert inc == full
     assert inc["t_nn"] == (2, False)  # the deleted NULL copy composed out
+
+
+def _counts_map(df, cols=("doc_id",)):
+    return {tuple(r[c] for c in cols): r["n"] for r in df.collect()}
+
+
+def test_unique_counts_compose_equals_recompute(spark):
+    """The materialized (key, n) uniqueness state rolled forward over
+    the delta must equal unique_key_counts recomputed from scratch on
+    the new snapshot — including keys whose multiplicity changes, keys
+    that vanish (n composes to 0 and is dropped), and NULL keys
+    (excluded on both paths)."""
+    from xsd2json_spark.engine.incremental import (
+        compose_unique_counts,
+        unique_key_counts,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y"), (3, "z"), (None, "n"), (None, "n")],
+        "doc_id long, text string",
+    )
+    # B: key 1 gains a copy, key 2 leaves, key 4 arrives twice, a NULL stays
+    b = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (1, "x"), (3, "z"), (4, "w"), (4, "w"), (None, "n")],
+        "doc_id long, text string",
+    )
+    state_a = unique_key_counts(a, ["doc_id"])
+    added, removed = snapshot_delta(a, b, ["doc_id"])
+    composed = compose_unique_counts(state_a, added, removed, ["doc_id"])
+    assert _counts_map(composed) == _counts_map(unique_key_counts(b, ["doc_id"]))
+    assert _counts_map(composed) == {(1,): 3, (3,): 1, (4,): 2}
+
+
+def test_unique_violations_from_counts_matches_engine(spark):
+    """Violation rows derived from the state table are byte-identical
+    to ValidationEngine.unique_violations on the full snapshot."""
+    from xsd2json_spark.engine.incremental import (
+        unique_key_counts,
+        unique_violations_from_counts,
+    )
+    from xsd2json_spark.spec.constraints import Unique
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d"), (3, "e"), (3, "f")],
+        "doc_id long, text string",
+    )
+    c = Unique(id="pk", columns=["doc_id"])
+    from_counts = unique_violations_from_counts(unique_key_counts(df, ["doc_id"]), c)
+    spec = spec_from_dict(
+        {"name": "u", "key_columns": ["doc_id"], "constraints": [
+            {"kind": "unique", "id": "pk", "columns": ["doc_id"]}]}
+    )
+    eng = ValidationEngine(spark, spec)
+    direct = eng.unique_violations(df, spec.constraints[0])
+    assert sorted(map(tuple, from_counts.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_incremental_verdicts_with_unique_state(spark, snapshots):
+    """incremental_verdicts(unique_state=...) composes the unique
+    verdict from the state + delta and still equals a from-scratch run
+    — for a snapshot WITH duplicates (fail) and after the duplicates
+    are removed (pass again)."""
+    from xsd2json_spark.engine.incremental import (
+        compose_unique_counts,
+        unique_key_counts,
+    )
+
+    a, b = snapshots
+    # duplicate some keys in B so the composed unique check has work
+    b_dup = b.unionByName(b.filter(F.col("doc_id") % 31 == 1))
+    spec = spec_from_dict(SPEC)
+    prev = ValidationEngine(spark, spec).run(a).verdicts
+    state = {"pk": unique_key_counts(a, ["doc_id"])}
+    inc = vmap(incremental_verdicts(spark, spec, a, b_dup, prev, unique_state=state))
+    full = vmap(ValidationEngine(spark, spec).run(b_dup).verdicts)
+    assert inc == full
+    assert inc["pk"][0] > 0 and not inc["pk"][1]
+
+    # roll the state forward and validate the NEXT snapshot (dups gone)
+    added, removed = snapshot_delta(a, b_dup, ["doc_id"])
+    state2 = {"pk": compose_unique_counts(state["pk"], added, removed, ["doc_id"])}
+    prev2 = ValidationEngine(spark, spec).run(b_dup).verdicts
+    inc2 = vmap(incremental_verdicts(spark, spec, b_dup, b, prev2, unique_state=state2))
+    full2 = vmap(ValidationEngine(spark, spec).run(b).verdicts)
+    assert inc2 == full2
+    assert inc2["pk"] == (0, True)

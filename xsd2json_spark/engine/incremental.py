@@ -19,15 +19,19 @@ What is and is not incrementally composable:
   dtype, constant, allOf/anyOf): exact composition via the formula
   above — the expensive per-row work (regex + casts over content)
   runs only on the delta.
-- TABLE-LEVEL constraints (unique, foreign_key, cardinality, quantile,
-  drift): NOT locally composable — adding one row can create a
-  uniqueness violation with an UNCHANGED row. These are recomputed on
-  the current snapshot. They are the cheap side at scale: uniqueness
-  and FK shuffle fixed-width keys, not content, and the quantile/drift
-  aggregates are sketch-sized. (True incremental uniqueness would
-  maintain a keyed count table — the streaming
-  ``stream_unique_violations`` state, materialized; out of scope
-  here and called out in the docstring contract.)
+- TABLE-LEVEL constraints (foreign_key, cardinality, quantile, drift):
+  NOT locally composable — adding one row can create a violation with
+  an UNCHANGED row. These are recomputed on the current snapshot. They
+  are the cheap side at scale: FK shuffles fixed-width keys, not
+  content, and the quantile/drift aggregates are sketch-sized.
+- UNIQUENESS is the exception among table-level checks: it IS
+  composable through a materialized keyed count table (the streaming
+  ``stream_unique_violations`` state, batch form). ``unique_key_counts``
+  materializes (key..., n) for a snapshot; ``compose_unique_counts``
+  rolls it forward over the delta with the same +added -removed
+  identity; pass the state via ``incremental_verdicts(unique_state=...)``
+  and the dominant table-level check stops rescanning the snapshot's
+  keys too.
 
 Delta discovery: a fingerprint anti-join on (key, sha256-of-payload)
 in both directions. This still SCANS both snapshots once (content must
@@ -46,7 +50,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from xsd2json_spark.engine.validate import VERDICT_COLUMNS, ValidationEngine
-from xsd2json_spark.spec.constraints import Spec
+from xsd2json_spark.spec.constraints import Spec, Unique
 
 
 def snapshot_delta(
@@ -135,6 +139,67 @@ def incremental_row_verdicts(
     return out.select(*VERDICT_COLUMNS)
 
 
+def unique_key_counts(df: DataFrame, columns) -> DataFrame:
+    """The materialized uniqueness state: one (key..., n) row per
+    distinct key present in the snapshot. This is the batch form of the
+    ``stream_unique_violations`` keyed state — persist it (parquet /
+    a table) alongside the snapshot's verdicts and the NEXT snapshot's
+    uniqueness check never rescans the table: it composes this state
+    with the delta (``compose_unique_counts``).
+
+    NULL-key rows are dropped, matching
+    ``ValidationEngine.unique_violations`` (``na.drop`` there): a NULL
+    key can't collide. One key shuffle; Spark's partial aggregation
+    pre-combines map-side, and the output is key-cardinality-sized
+    (fixed-width keys + a long), not table-sized."""
+    cols = list(columns)
+    return (
+        df.select(*cols)
+        .na.drop(subset=cols)
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def compose_unique_counts(
+    prev_counts: DataFrame, added: DataFrame, removed: DataFrame, columns
+) -> DataFrame:
+    """Next snapshot's uniqueness state from the previous state plus
+    the keyed delta — the same count-composition identity the row-level
+    verdicts use, applied to the one table-level check that dominates
+    at scale:
+
+        n_B(key) = n_A(key) + n_added(key) - n_removed(key)
+
+    Exact (not approximate) because snapshot_delta is multiset-aware:
+    a key whose multiplicity changes surfaces the net copies in
+    added/removed. Keys composing to n = 0 are dropped (the key left
+    the table). The delta sides are aggregated first, so the full-outer
+    join is counts-vs-counts — three key-cardinality-bounded inputs,
+    never the snapshots themselves."""
+    cols = list(columns)
+    p = prev_counts.select(*cols, F.col("n").alias("__p"))
+    a = unique_key_counts(added, cols).select(*cols, F.col("n").alias("__a"))
+    r = unique_key_counts(removed, cols).select(*cols, F.col("n").alias("__r"))
+    j = p.join(a, cols, "full").join(r, cols, "full")
+    z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
+    return j.select(
+        *cols, (z("__p") + z("__a") - z("__r")).cast("long").alias("n")
+    ).filter(F.col("n") > 0)
+
+
+def unique_violations_from_counts(counts: DataFrame, c: Unique) -> DataFrame:
+    """Violation rows from a (key..., n) state table — byte-identical
+    to ``ValidationEngine.unique_violations`` on the full snapshot
+    (asserted in test_incremental and by the cv_incremental_unique
+    oracle): one row per duplicated key, detail ``duplicates=n``."""
+    return counts.filter(F.col("n") > 1).select(
+        *c.columns,
+        F.lit(c.id).alias("constraint_id"),
+        F.concat(F.lit("duplicates="), F.col("n").cast("string")).alias("detail"),
+    )
+
+
 def incremental_verdicts(
     spark: SparkSession,
     spec: Spec,
@@ -143,12 +208,22 @@ def incremental_verdicts(
     prev_verdicts: DataFrame,
     dims=None,
     config=None,
+    unique_state=None,
 ) -> DataFrame:
     """Full verdict table for cur_df, touching only the delta for the
     row-level (content-scanning) constraints and recomputing the
     key-shuffle table-level ones on cur_df. Equals a from-scratch
     ``ValidationEngine.run(cur_df)`` verdict table (asserted in
-    test_incremental and by the cv_incremental_verdicts oracle)."""
+    test_incremental and by the cv_incremental_verdicts oracle).
+
+    unique_state: optional {constraint_id: (key..., n) DataFrame} —
+    the previous snapshot's ``unique_key_counts`` per Unique
+    constraint. Each covered constraint's verdict is then COMPOSED
+    from the state plus the delta (``compose_unique_counts``) instead
+    of re-shuffling every key of cur_df — with the state supplied, the
+    whole verdict table touches cur_df only for the delta scan and the
+    remaining (FK/cardinality/quantile/drift) table checks. Maintain
+    the state for the next snapshot with the same compose call."""
     kwargs = {}
     if config is not None:
         kwargs["config"] = config
@@ -158,7 +233,25 @@ def incremental_verdicts(
     engine = ValidationEngine(spark, replace(spec, watched_columns=()), dims=dims or {}, **kwargs)
     added, removed = snapshot_delta(prev_df, cur_df, spec.key_columns)
     verdicts = incremental_row_verdicts(engine, added, removed, prev_verdicts)
-    table_cs = spec.table_level()
+    unique_state = unique_state or {}
+    composed_uniques = [
+        c for c in spec.table_level()
+        if isinstance(c, Unique) and c.id in unique_state
+    ]
+    for c in composed_uniques:
+        counts = compose_unique_counts(unique_state[c.id], added, removed, c.columns)
+        n = unique_violations_from_counts(counts, c).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        uv = n.select(
+            F.lit("ALL").alias("partition_key"),
+            F.lit(c.id).alias("constraint_id"),
+            F.col("__n").cast("long").alias("violation_count"),
+            F.lit(None).cast("long").alias("evaluated_count"),
+            (F.col("__n") == 0).alias("passed"),
+        )
+        verdicts = verdicts.unionByName(uv.select(*VERDICT_COLUMNS))
+    table_cs = [c for c in spec.table_level() if c not in composed_uniques]
     if table_cs:
         table_spec = replace(spec, constraints=tuple(table_cs), watched_columns=())
         tbl_engine = ValidationEngine(spark, table_spec, dims=dims or {}, **kwargs)
