@@ -937,6 +937,32 @@ def q_media_image_features_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_image_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked REAL COMPRESSED-image decode (new round 5): real
+    PNG files (synth_png_media — stdlib zlib deflate, all five PNG
+    scanline filter types cycling per row) are decoded by the
+    dependency-free PNG codec (zlib inflate + numpy unfilter) and
+    EVERY element of every thumbnail feature is exploded and compared
+    against DuckDB computing the block means straight from the pixel
+    formulas: ids < 32 are grayscale with pixel (r,c) = (id*7 + r*3 +
+    c*5) % 256 (so Sub/Up/Average/Paeth see real deltas), ids >= 32
+    are constant-color RGB via the ITU-601 luma. 64 images x 32
+    elements = 2048 hash-checked values covering inflate, unfilter,
+    luma, block mean, and normalization."""
+    from xsd2json_spark.functions import multimodal as M
+
+    media = M.synth_png_media(spark, n_rows=64, w=16, h=8)
+    feats = M.image_features(media, codec="png")
+    return feats.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.posexplode("feature").alias("pos", "val"),
+    ).select(
+        "media_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("val").cast("double"), 6).alias("val"),
+    )
+
+
 def q_media_audio_frames_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-checked REAL audio decode (new round 4): RIFF/WAVE PCM
     payloads (stdlib-written square waves, synth_wav_media) are decoded
@@ -1263,7 +1289,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cv_drift_psi_stat": q_cv_drift_psi_stat,
         "doc_top_terms": q_doc_top_terms,
         "cv_drift_ks_stat": q_cv_drift_ks_stat,
-        "cv_drift_chi2_by_stat": q_cv_drift_chi2_by_stat,
         "cv_drift_by_lang": q_cv_drift_by_lang,
         "cv_resume_lineage": q_cv_resume_lineage,
         "doc_packing": q_doc_packing,
@@ -1277,18 +1302,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_counts": q_doc_split_counts,
         "doc_stratified_sample": q_doc_stratified_sample,
         "media_image_features_ppm": q_media_image_features_ppm,
+        "media_image_features_png": q_media_image_features_png,
         "media_audio_frames_wav": q_media_audio_frames_wav,
         "media_video_frame_index": q_media_video_frame_index,
         # --- past the driver's 50-row CORRECTNESS capture from here ---
         # Oracle-able but redundant witnesses (spilled by the 50-row
         # cap; replayable any time via tools/check_oracle.py):
-        # cv_drift_ks_by_stat's per-group KS spine is the same code
-        # path as the witnessed cv_drift_ks_stat (global) and
-        # cv_drift_chi2_by_stat (per-group); doc_langid is the legacy
-        # heuristic superseded by doc_langid_ngram;
-        # doc_simhash_pairs_md5's simhash kernel is already
-        # hash-checked by doc_simhash.
+        # cv_drift_ks_by_stat / cv_drift_chi2_by_stat run the same
+        # per-group spine code path as the witnessed cv_drift_ks_stat /
+        # cv_drift_chi2_stat (global) and cv_drift_by_lang (per-group
+        # verdicts); doc_langid is the legacy heuristic superseded by
+        # doc_langid_ngram; doc_simhash_pairs_md5's simhash kernel is
+        # already hash-checked by doc_simhash.
         "cv_drift_ks_by_stat": q_cv_drift_ks_by_stat,
+        "cv_drift_chi2_by_stat": q_cv_drift_chi2_by_stat,
         "doc_langid": q_doc_langid,
         "doc_simhash_pairs_md5": q_doc_simhash_pairs_md5,
         # Rows-only by design (xxhash64 / BPE / fake-codec paths have
@@ -2259,6 +2286,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT scenario, round(psi, 6) AS psi, CAST(n_cats AS BIGINT) AS n_cats,
                    psi >= 0.25 AS action, psi >= 0.1 AS watch
             FROM agg
+        """,
+        "media_image_features_png": """
+            WITH m AS (SELECT unnest(range(64)) AS id),
+            k AS (SELECT unnest(range(32)) AS k),
+            g AS (
+                SELECT id, k,
+                       CASE WHEN id < 32 THEN (
+                             ((id*7 + (2*(k//8))*3   + (2*(k%8))*5)   % 256
+                            + (id*7 + (2*(k//8))*3   + (2*(k%8)+1)*5) % 256
+                            + (id*7 + (2*(k//8)+1)*3 + (2*(k%8))*5)   % 256
+                            + (id*7 + (2*(k//8)+1)*3 + (2*(k%8)+1)*5) % 256) / 4.0
+                       ) ELSE (0.299 * ((id*7) % 256)
+                             + 0.587 * ((id*13) % 256)
+                             + 0.114 * ((id*29) % 256))
+                       END AS gray
+                FROM m CROSS JOIN k
+            )
+            SELECT CAST(id AS BIGINT) AS media_id, CAST(k AS BIGINT) AS pos,
+                   round(CAST(CAST(gray / 255.0 AS FLOAT) AS DOUBLE), 6) AS val
+            FROM g
         """,
         "media_image_features_ppm": """
             SELECT CAST(i AS BIGINT) AS media_id,

@@ -265,3 +265,83 @@ def test_wav_codec_real_decode(spark):
         frame_ms=250, codec="wav",
     ).collect()
     assert all(abs(r["rms"]) < 1e-6 for r in rows)
+
+
+def test_png_roundtrip_every_filter_type():
+    """encode_png -> _decode_image_png round-trips to the same
+    thumbnail feature for each of the five PNG scanline filters,
+    grayscale and RGB — the filters are lossless, so every filter
+    choice must decode identically."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, size=(8, 16)).astype(np.uint8)
+    rgb = rng.randint(0, 256, size=(8, 16, 3)).astype(np.uint8)
+    want_g = M._thumb_feature(gray.astype(np.float64))
+    want_c = M._thumb_feature(rgb.astype(np.float64) @ np.array([0.299, 0.587, 0.114]))
+    for ft in range(5):
+        assert np.array_equal(
+            M._decode_image_png(M.encode_png(gray, filters=lambda r, f=ft: f)), want_g
+        ), f"gray filter {ft}"
+        assert np.array_equal(
+            M._decode_image_png(M.encode_png(rgb, filters=lambda r, f=ft: f)), want_c
+        ), f"rgb filter {ft}"
+
+
+def test_png_rgba_and_gray_alpha_drop_alpha():
+    """Color types 6 (RGBA) and 4 (gray+alpha) decode with the alpha
+    plane ignored — hand-built chunk stream, filter 0."""
+    import zlib
+
+    import numpy as np
+
+    def chunk(t, d):
+        crc = zlib.crc32(t + d) & 0xFFFFFFFF
+        return len(d).to_bytes(4, "big") + t + d + crc.to_bytes(4, "big")
+
+    def build(px, color_type):
+        h, w = px.shape[:2]
+        lines = b"".join(b"\x00" + px[r].astype(np.uint8).tobytes() for r in range(h))
+        ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, color_type, 0, 0, 0])
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(lines)) + chunk(b"IEND", b""))
+
+    rng = np.random.RandomState(3)
+    gray = rng.randint(0, 256, size=(8, 16)).astype(np.uint8)
+    rgba = np.dstack([gray, gray // 2, gray // 3, np.full_like(gray, 99)])
+    ga = np.dstack([gray, np.full_like(gray, 42)])
+    want_rgba = M._thumb_feature(
+        rgba[:, :, :3].astype(np.float64) @ np.array([0.299, 0.587, 0.114]))
+    want_ga = M._thumb_feature(gray.astype(np.float64))
+    assert np.array_equal(M._decode_image_png(build(rgba, 6)), want_rgba)
+    assert np.array_equal(M._decode_image_png(build(ga, 4)), want_ga)
+
+
+def test_png_rejects_malformed():
+    import numpy as np
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="signature"):
+        M._decode_image_png(b"NOTAPNG" + b"\0" * 64)
+    # 16-bit depth unsupported: flip the bit-depth byte in a real file
+    good = bytearray(M.encode_png(np.zeros((4, 4), dtype=np.uint8)))
+    # IHDR data starts at offset 8 (sig) + 8 (len+type); bit depth is
+    # byte 8 of the 13-byte IHDR payload
+    good[8 + 8 + 8] = 16
+    with _pytest.raises(ValueError, match="unsupported PNG"):
+        M._decode_image_png(bytes(good))
+
+
+def test_png_codec_distributed(spark):
+    """The full distributed path: synth_png_media -> image_features
+    (codec='png') over mapInPandas equals the driver-side decode of
+    the same payloads."""
+    import numpy as np
+
+    media = M.synth_png_media(spark, n_rows=12, w=16, h=8)
+    got = {r["media_id"]: np.array(r["feature"], dtype=np.float32)
+           for r in M.image_features(media, codec="png").collect()}
+    assert len(got) == 12
+    for r in media.collect():
+        want = M._decode_image_png(bytes(r["payload"]))
+        assert np.array_equal(got[r["media_id"]], want), r["media_id"]

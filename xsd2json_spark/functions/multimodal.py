@@ -7,16 +7,21 @@ contracts. Codec status per format:
 
 - REAL, dependency-free (numpy/stdlib only, run green in tests):
   PPM/PGM binary images (``codec='ppm'``), 24-bit uncompressed BMP
-  (``codec='bmp'``), RIFF/WAVE PCM audio (``codec='wav'`` — stdlib
-  ``wave`` + numpy, 8/16/32-bit, multi-channel downmixed).
+  (``codec='bmp'``), baseline 8-bit PNG (``codec='png'`` — stdlib
+  ``zlib`` inflate + numpy scanline unfilter, gray/RGB/RGBA,
+  all five PNG filter types), RIFF/WAVE PCM audio (``codec='wav'`` —
+  stdlib ``wave`` + numpy, 8/16/32-bit, multi-channel downmixed).
+  PNG is a COMPRESSED format, so the compressed-format path is
+  executable and oracle-checked in this sandbox.
 - REAL but gated on the library being importable on the workers:
   ``codec='pil'`` (PIL is not in this container; the branch is written
   and plan-asserted identical).
 - STUBBED (deterministic seeded fakes or NotImplementedError in strict
-  mode): compressed formats — JPEG/PNG images, MP3/AAC audio, any
-  video container (ffmpeg/librosa are not in this container). The
-  video frame SAMPLING contract (which timestamps, what fan-out) is
-  real and oracle-checked; only the per-frame pixel decode is fake.
+  mode): the remaining compressed formats — JPEG images, MP3/AAC
+  audio, any video container (ffmpeg/librosa are not in this
+  container). The video frame SAMPLING contract (which timestamps,
+  what fan-out) is real and oracle-checked; only the per-frame pixel
+  decode is fake.
 """
 
 from __future__ import annotations
@@ -152,6 +157,192 @@ def _decode_image_ppm(payload: bytes) -> np.ndarray:
     return _thumb_feature(gray * (255.0 / maxval))
 
 
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Invert the PNG scanline filters (spec §9: None/Sub/Up/Average/
+    Paeth). ``raw`` is the zlib-decompressed stream: h rows of
+    (1 filter byte + stride sample bytes). Sub/Average/Paeth have a
+    within-row data dependence, so the inner walk is per-pixel — fine:
+    this runs per-image inside an Arrow batch on a worker, images are
+    the unit of parallelism."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    row_len = stride + 1
+    for r in range(h):
+        ftype = int(raw[r * row_len])
+        line = raw[r * row_len + 1 : (r + 1) * row_len].astype(np.int32)
+        prev = out[r - 1].astype(np.int32) if r > 0 else np.zeros(stride, dtype=np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0  # left
+                b = prev[x]  # up
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0  # up-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[r] = cur.astype(np.uint8)
+    return out
+
+
+#: PNG color type -> samples per pixel (alpha included; dropped for luma)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _decode_image_png(payload: bytes) -> np.ndarray:
+    """REAL codec, stdlib+numpy only (``zlib`` inflate + numpy
+    unfilter): baseline 8-bit PNG — grayscale (color type 0), RGB (2),
+    gray+alpha (4), RGBA (6), non-interlaced. Chunk walk skips
+    ancillary chunks; multiple IDATs concatenate into one zlib stream
+    (the spec's required behavior). Alpha is dropped, RGB converts to
+    luma with the ITU-R 601 weights (same as the PPM/BMP codecs);
+    output is the shared thumbnail feature."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        clen = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        pos += 12 + clen  # len + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG (bit_depth={bit_depth}, color_type={color_type}, "
+            f"interlace={interlace}; baseline 8-bit non-interlaced only)"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(raw) != h * (w * ch + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    px = _png_unfilter(raw, h, w * ch, ch).reshape(h, w, ch)
+    if color_type == 0:
+        gray = px[:, :, 0].astype(np.float64)
+    elif color_type == 4:
+        gray = px[:, :, 0].astype(np.float64)  # gray + alpha: drop alpha
+    else:
+        gray = px[:, :, :3].astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    return _thumb_feature(gray)
+
+
+def _png_filter_row(line: np.ndarray, prev: np.ndarray, ftype: int, bpp: int) -> np.ndarray:
+    """Forward PNG filter (encoder side of _png_unfilter) — lets the
+    synthesizer exercise every filter type so the decoder's inverse is
+    genuinely tested, not just the filter-0 path."""
+    li = line.astype(np.int32)
+    pi = prev.astype(np.int32)
+    n = len(li)
+    left = np.concatenate([np.zeros(bpp, dtype=np.int32), li[:-bpp]]) if n > bpp else np.zeros(n, dtype=np.int32)
+    upleft = np.concatenate([np.zeros(bpp, dtype=np.int32), pi[:-bpp]]) if n > bpp else np.zeros(n, dtype=np.int32)
+    if ftype == 0:
+        out = li
+    elif ftype == 1:
+        out = li - left
+    elif ftype == 2:
+        out = li - pi
+    elif ftype == 3:
+        out = li - (left + pi) // 2
+    elif ftype == 4:
+        p = left + pi - upleft
+        pa, pb, pc = np.abs(p - left), np.abs(p - pi), np.abs(p - upleft)
+        pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, pi, upleft))
+        out = li - pred
+    else:
+        raise ValueError(f"unknown PNG filter type {ftype}")
+    return (out & 0xFF).astype(np.uint8)
+
+
+def encode_png(px: np.ndarray, filters=None) -> bytes:
+    """Minimal real PNG writer (stdlib zlib + crc32): 8-bit gray
+    (h, w) or RGB (h, w, 3), non-interlaced, one IDAT. ``filters``
+    picks the per-row filter type (callable row -> 0..4; default
+    cycles through all five so decode round-trips cover every
+    inverse). Synthesis/test helper — at scale you read real files."""
+    import zlib
+
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color_type = {1: 0, 3: 2}[ch]
+    pick = filters if filters is not None else (lambda r: r % 5)
+    flat = px.reshape(h, w * ch).astype(np.uint8)
+    lines = []
+    for r in range(h):
+        ftype = int(pick(r))
+        prev = flat[r - 1] if r > 0 else np.zeros(w * ch, dtype=np.uint8)
+        lines.append(bytes([ftype]) + _png_filter_row(flat[r], prev, ftype, ch).tobytes())
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return len(data).to_bytes(4, "big") + ctype + data + crc.to_bytes(4, "big")
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_png_media(spark, n_rows: int = 64, w: int = 16, h: int = 8) -> DataFrame:
+    """Deterministic media table whose payloads are REAL PNG files:
+    ids < n_rows/2 are grayscale with pixel (r, c) = (id*7 + r*3 +
+    c*5) % 256 (varying pixels so Sub/Up/Average/Paeth have real
+    deltas), the rest are constant-color RGB (id*7, id*13, id*29)
+    % 256; every image cycles the row filter by (r + id) % 5 so all
+    five filters appear at every row position across the table. Both
+    pixel formulas are SQL-replayable after the real decode (the
+    cv_media_image_features_png oracle). Payloads are built
+    driver-side (a demo table, like synth_wav_media); the decode runs
+    distributed."""
+    rows = []
+    half = n_rows // 2
+    for i in range(n_rows):
+        if i < half:
+            rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            px = ((i * 7 + rr * 3 + cc * 5) % 256).astype(np.uint8)
+        else:
+            px = np.full((h, w, 3), 0, dtype=np.uint8)
+            px[:, :, 0] = (i * 7) % 256
+            px[:, :, 1] = (i * 13) % 256
+            px[:, :, 2] = (i * 29) % 256
+        payload = encode_png(px, filters=lambda r, i=i: (r + i) % 5)
+        rows.append(
+            (i, "image", "image/png", bytearray(payload), w, h, 0)
+        )
+    return spark.createDataFrame(
+        rows,
+        "media_id long, kind string, mime string, payload binary, "
+        "width int, height int, duration_ms long",
+    )
+
+
 def _decode_image_bmp(payload: bytes) -> np.ndarray:
     """REAL codec, numpy-only: 24-bit uncompressed (BI_RGB) BMP —
     little-endian header, 4-byte-aligned rows, bottom-up unless height
@@ -184,11 +375,12 @@ def image_features(
     (filter pushdown on kind, column pruning to (media_id,payload,w,h),
     Arrow batch iteration) is identical for every codec — only the
     per-payload decode differs: codec='fake' (deterministic stub for
-    compressed formats — no JPEG/PNG libs in this container),
-    codec='ppm' / codec='bmp' (REAL numpy-only decoders, run green in
-    tests), or codec='pil' (real decode when PIL is importable on the
-    workers)."""
-    if codec not in ("fake", "pil", "ppm", "bmp"):
+    formats with no decoder in this container, e.g. JPEG),
+    codec='ppm' / codec='bmp' / codec='png' (REAL stdlib+numpy
+    decoders, run green in tests — png covers the compressed-format
+    path via zlib inflate + scanline unfilter), or codec='pil' (real
+    decode when PIL is importable on the workers)."""
+    if codec not in ("fake", "pil", "ppm", "bmp", "png"):
         raise ValueError(f"unknown codec {codec!r}")
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -196,6 +388,7 @@ def image_features(
             "pil": _decode_image_pil,
             "ppm": _decode_image_ppm,
             "bmp": _decode_image_bmp,
+            "png": _decode_image_png,
             "fake": lambda p: _decode_image_bytes(p, strict),
         }[codec]
         for pdf in batches:
