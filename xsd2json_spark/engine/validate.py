@@ -124,6 +124,24 @@ class EngineConfig:
     # it when the scan is genuinely IO-bound (cold object storage),
     # not page-cache-hot local parquet.
     single_pass: bool = False
+    # FUSED single-pass mode: one codegen'd scan projects a NARROW
+    # derivative of the fact table — violation keys, one boolean fail
+    # flag per row-level constraint, and per-watched-column sketch
+    # inputs (null flag, 64-char prefix, null-guarded xxhash64 for the
+    # HLL, double cast) — which is cached once; verdict counters, the
+    # stats sketch, violation rows AND the key-only table-level checks
+    # (unique / FK / cardinality) all derive from the cache. The wide
+    # content column is decompressed and predicate-evaluated exactly
+    # ONCE per run, and unlike the observe mode above the scan keeps
+    # whole-stage codegen (the cache is a columnar InMemoryRelation).
+    # Three-valued: None = auto (fused whenever the spec has row-level
+    # constraints and the run allows approx distinct), True = force,
+    # False = always two-pass. Exact-distinct runs (exact=True or
+    # approx_distinct=False — the oracle-parity configs) always fall
+    # back to two-pass: HLL-over-hash is statistically equivalent to
+    # HLL-over-value but not bit-identical, and exact count_distinct
+    # would need the full value in the narrow cache, defeating it.
+    fused: Optional[bool] = None
 
 
 @dataclass
@@ -228,6 +246,13 @@ class ValidationEngine:
         agg = self._agg_pass(df)
         agg = agg.cache()  # tiny: one row per partition_key
         self._cached_agg = agg
+        return self._verdicts_stats_from_agg(agg)
+
+    def _verdicts_stats_from_agg(self, agg: DataFrame) -> "tuple[DataFrame, DataFrame]":
+        """Shared tail of the agg pass: pivot the one-row-per-partition
+        counter/sketch frame into verdict and stats tables. Used by both
+        the two-pass plan and the fused narrow-cache plan (whose agg
+        carries identical __viol_i / __st_i__* / __total aliases)."""
         _, ids = self._row_counter_exprs()
 
         if ids:
@@ -447,29 +472,57 @@ class ValidationEngine:
         With config.single_pass (global specs with row-level
         constraints), the verdict counters + sketch instead ride the
         violation scan as observed metrics — ONE decompression of the
-        wide fact columns per run instead of two."""
+        wide fact columns per run instead of two. With config.fused
+        (the default auto mode, whenever the run allows approx
+        distinct), the same one-decompression property is achieved
+        WITHOUT giving up whole-stage codegen: see _run_fused."""
         if self.config.single_pass and not self.spec.partition_by and self.spec.row_level():
             return self._run_single_pass(df)
+        if self._resolve_fused():
+            return self._run_fused(df)
         verdicts, stats = self.row_verdicts_and_stats(df)
-
         keys = list(self.spec.key_columns) or df.columns[:1]
-        all_viol = [self.row_violations(df)]
+        return self._finish(
+            verdicts, stats, self.row_violations(df), df, df, keys,
+            [getattr(self, "_cached_agg", None)],
+        )
+
+    def _finish(
+        self,
+        verdicts: DataFrame,
+        stats: DataFrame,
+        row_viol: DataFrame,
+        keyed_src: DataFrame,
+        raw_df: DataFrame,
+        keys,
+        cached,
+    ) -> ValidationResult:
+        """Shared table-level pass + result assembly. ``keyed_src`` is
+        the frame the key-only checks (unique / FK / cardinality) read —
+        the raw fact table in two-pass mode, the narrow cache in fused
+        mode (identical results: those checks only touch columns the
+        narrow projection passes through verbatim). Quantile and drift
+        read ``raw_df`` always: they need the actual value distribution
+        of arbitrary expressions, and their scans are column-pruned so
+        they never touch the wide content column unless the constraint
+        itself watches it."""
+        all_viol = [row_viol]
         table_ids = []
         drift_rows = []
 
         for c in self.spec.table_level():
             if isinstance(c, Unique):
-                v = self.unique_violations(df, c)
+                v = self.unique_violations(keyed_src, c)
             elif isinstance(c, ForeignKey):
-                v = self.fk_violations(df, c)
+                v = self.fk_violations(keyed_src, c)
             elif isinstance(c, Cardinality):
-                v = self.cardinality_violations(df, c)
+                v = self.cardinality_violations(keyed_src, c)
             elif isinstance(c, Quantile):
-                v = self.quantile_violations(df, c)
+                v = self.quantile_violations(raw_df, c)
             elif isinstance(c, Drift):
                 from xsd2json_spark.engine.drift import drift_verdict
 
-                dv = drift_verdict(self.spark, df, c, self.baselines)
+                dv = drift_verdict(self.spark, raw_df, c, self.baselines)
                 drift_rows.extend(dv if isinstance(dv, list) else [dv])
                 continue
             else:  # pragma: no cover
@@ -477,7 +530,6 @@ class ValidationEngine:
             table_ids.append(c.id)
             all_viol.append(self._conform_violations(v, keys))
 
-        cached = [getattr(self, "_cached_agg", None)]
         violations = all_viol[0]
         for v in all_viol[1:]:
             violations = violations.unionByName(v)
@@ -515,6 +567,122 @@ class ValidationEngine:
             stats=stats,
             _cached=tuple(d for d in cached if d is not None),
         )
+
+    def _resolve_fused(self) -> bool:
+        """Three-valued EngineConfig.fused -> plan choice. Fused needs
+        (a) at least one row-level constraint (otherwise there is no
+        wide scan to fuse) and (b) approx distinct (the narrow cache
+        carries xxhash64(value), statistically equivalent for the HLL
+        but not bit-identical to hashing the value itself — so the
+        oracle-parity exact configs stay on the two-pass plan and keep
+        bit-stable stats)."""
+        if self.config.fused is False:
+            return False
+        if not self.spec.row_level():
+            return False
+        if self.config.exact or not self.config.approx_distinct:
+            if self.config.fused:
+                _log.info("fused: exact-distinct run needs full values; using two-pass plan")
+            return False
+        return True
+
+    def _run_fused(self, df: DataFrame) -> ValidationResult:
+        """ONE decompression of the fact table per run, codegen intact.
+
+        The scan projects a narrow derivative (~100-300 B/row vs KB-size
+        content): passthrough key/partition/table-check columns, one
+        nullable boolean per row-level constraint (``~pred`` — nullable
+        so NULL-comparison semantics match the two-pass counters
+        exactly), and per watched column the four sketch inputs. That
+        derivative is cached (columnar, MEMORY_AND_DISK) and feeds
+        - the verdict/stats aggregation (identical aliases, shared
+          assembly with the two-pass plan),
+        - the violation explode (flags already computed), and
+        - unique / FK / cardinality, whose columns pass through raw.
+        At repo scale this turns 2 full reads of ~KB/row content into
+        1 read + a ~10x-smaller cache round-trip; the predicate/regex/
+        hash kernels also run once instead of twice."""
+        from pyspark import StorageLevel
+
+        row_cs = self.spec.row_level()
+        keys = list(self.spec.key_columns) or df.columns[:1]
+
+        passthrough: list = []
+        seen = set()
+
+        def _add(name: str):
+            if name not in seen:
+                seen.add(name)
+                passthrough.append(name)
+
+        for k in keys:
+            _add(k)
+        for p in self.spec.partition_by:
+            _add(p)
+        for c in self.spec.table_level():
+            if isinstance(c, Unique) or isinstance(c, ForeignKey):
+                for x in c.columns:
+                    _add(x)
+            elif isinstance(c, Cardinality):
+                for x in c.group_by:
+                    _add(x)
+
+        cols = [F.col(n) for n in passthrough]
+        for i, c in enumerate(row_cs):
+            cols.append((~compile_predicate(c)).alias(f"__fail_{i}"))
+        for i, w in enumerate(self.spec.watched_columns):
+            wc = F.expr(w) if not w.isidentifier() else F.col(w)
+            cols += [
+                wc.isNull().alias(f"__w_{i}_null"),
+                # prefix-monotone: min/max over the 64-char prefix equals
+                # the prefix of min/max (same dodge as _sketch_exprs)
+                F.substring(wc.cast("string"), 1, 64).alias(f"__w_{i}_prefix"),
+                # null-guarded: xxhash64(NULL) is a seed constant, not
+                # NULL — unguarded it would count nulls as a distinct
+                F.when(wc.isNotNull(), F.xxhash64(wc)).alias(f"__w_{i}_hash"),
+                wc.try_cast("double").alias(f"__w_{i}_num"),
+            ]
+        narrow = df.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
+
+        cfg = self.config
+        exprs = [
+            F.sum(F.col(f"__fail_{i}").cast("long")).alias(f"__viol_{i}")
+            for i in range(len(row_cs))
+        ]
+        for i, w in enumerate(self.spec.watched_columns):
+            exprs += [
+                F.count(F.lit(1)).alias(f"__st_{i}__count"),
+                F.sum(F.col(f"__w_{i}_null").cast("long")).alias(f"__st_{i}__null_count"),
+                F.approx_count_distinct(f"__w_{i}_hash").alias(f"__st_{i}__distinct"),
+                F.min(f"__w_{i}_prefix").alias(f"__st_{i}__min"),
+                F.max(f"__w_{i}_prefix").alias(f"__st_{i}__max"),
+                F.percentile_approx(
+                    F.col(f"__w_{i}_num"), list(cfg.quantiles), cfg.quantile_accuracy
+                ).alias(f"__st_{i}__quantiles"),
+            ]
+        exprs.append(F.count(F.lit(1)).alias("__total"))
+        if self.spec.partition_by:
+            agg = narrow.groupBy(_partition_key(self.spec).alias("partition_key")).agg(*exprs)
+        else:
+            agg = narrow.groupBy().agg(*exprs).select(F.lit("ALL").alias("partition_key"), "*")
+        agg = agg.cache()  # tiny: one row per partition_key
+        self._cached_agg = agg
+        verdicts, stats = self._verdicts_stats_from_agg(agg)
+
+        if row_cs:
+            failed = F.array_compact(
+                F.array(*[F.when(F.col(f"__fail_{i}"), F.lit(c.id)) for i, c in enumerate(row_cs)])
+            )
+            row_viol = (
+                narrow.select(*[F.col(k).cast("string").alias(k) for k in keys], failed.alias("__failed"))
+                .filter(F.size("__failed") > 0)
+                .select(*keys, F.explode("__failed").alias("constraint_id"))
+                .withColumn("detail", F.lit(None).cast("string"))
+            )
+        else:  # pragma: no cover — _resolve_fused requires row-level
+            row_viol = self._empty_violations(keys)
+
+        return self._finish(verdicts, stats, row_viol, narrow, df, keys, [agg, narrow])
 
     def _run_single_pass(self, df: DataFrame) -> ValidationResult:
         """TRUE single-pass: df.observe attaches every verdict counter
