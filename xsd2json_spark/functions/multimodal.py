@@ -9,19 +9,21 @@ contracts. Codec status per format:
   PPM/PGM binary images (``codec='ppm'``), 24-bit uncompressed BMP
   (``codec='bmp'``), baseline 8-bit PNG (``codec='png'`` — stdlib
   ``zlib`` inflate + numpy scanline unfilter, gray/RGB/RGBA,
-  all five PNG filter types), RIFF/WAVE PCM audio (``codec='wav'`` —
-  stdlib ``wave`` + numpy, 8/16/32-bit, multi-channel downmixed).
-  PNG is a COMPRESSED format, so the compressed-format path is
-  executable and oracle-checked in this sandbox.
+  all five PNG filter types), baseline JPEG (``codec='jpeg'`` —
+  numpy-only entropy decode + IDCT, see functions/jpeg.py: Huffman
+  tables from DHT, 4:4:4/4:2:0/4:2:2 MCU walk, restart markers),
+  RIFF/WAVE PCM audio (``codec='wav'`` — stdlib ``wave`` + numpy,
+  8/16/32-bit, multi-channel downmixed). PNG and JPEG are COMPRESSED
+  formats, so both the lossless-compressed and the lossy-compressed
+  image paths are executable and oracle-checked in this sandbox.
 - REAL but gated on the library being importable on the workers:
   ``codec='pil'`` (PIL is not in this container; the branch is written
   and plan-asserted identical).
 - STUBBED (deterministic seeded fakes or NotImplementedError in strict
-  mode): the remaining compressed formats — JPEG images, MP3/AAC
-  audio, any video container (ffmpeg/librosa are not in this
-  container). The video frame SAMPLING contract (which timestamps,
-  what fan-out) is real and oracle-checked; only the per-frame pixel
-  decode is fake.
+  mode): the remaining compressed formats — MP3/AAC audio, any video
+  container (ffmpeg/librosa are not in this container). The video
+  frame SAMPLING contract (which timestamps, what fan-out) is real and
+  oracle-checked; only the per-frame pixel decode is fake.
 """
 
 from __future__ import annotations
@@ -343,6 +345,47 @@ def synth_png_media(spark, n_rows: int = 64, w: int = 16, h: int = 8) -> DataFra
     )
 
 
+def _decode_image_jpeg(payload: bytes) -> np.ndarray:
+    """REAL codec, numpy-only (functions/jpeg.py): baseline JPEG —
+    DHT-driven Huffman entropy decode, dequantize, IDCT, generic MCU
+    sampling walk, restart markers. JPEG stores the luma plane
+    directly (it IS the ITU-R 601 luma the other codecs derive from
+    RGB), so the thumbnail feature reads Y without a chroma round-off
+    chain."""
+    from xsd2json_spark.functions.jpeg import decode_jpeg
+
+    return _thumb_feature(decode_jpeg(payload))
+
+
+def synth_jpeg_media(spark, n_rows: int = 64, w: int = 32, h: int = 16) -> DataFrame:
+    """Deterministic media table whose payloads are REAL baseline JPEG
+    files: grayscale images whose pixels are CONSTANT within each 8x8
+    block — pixel (r, c) of image i = (i*17 + ((r//8)*(w//8) + c//8)
+    * 37) % 256 — encoded with unit quant tables. Constant blocks
+    round-trip BIT-EXACTLY through baseline JPEG (only the DC
+    coefficient survives, an exact multiple of 8; see jpeg.py module
+    docstring), so the decoded features are SQL-replayable from the
+    formula even though JPEG is a lossy format. restart_interval
+    cycles 0/1/2 MCUs by id so the RSTn resync + DC-predictor-reset
+    path runs inside the oracle-checked set too. Payloads are built
+    driver-side (a demo table, like synth_png_media); the decode runs
+    distributed."""
+    from xsd2json_spark.functions.jpeg import encode_jpeg
+
+    rows = []
+    bw = w // 8
+    for i in range(n_rows):
+        rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        px = ((i * 17 + ((rr // 8) * bw + cc // 8) * 37) % 256).astype(np.uint8)
+        payload = encode_jpeg(px, quant=1, restart_interval=i % 3)
+        rows.append((i, "image", "image/jpeg", bytearray(payload), w, h, 0))
+    return spark.createDataFrame(
+        rows,
+        "media_id long, kind string, mime string, payload binary, "
+        "width int, height int, duration_ms long",
+    )
+
+
 def _decode_image_bmp(payload: bytes) -> np.ndarray:
     """REAL codec, numpy-only: 24-bit uncompressed (BI_RGB) BMP —
     little-endian header, 4-byte-aligned rows, bottom-up unless height
@@ -375,12 +418,14 @@ def image_features(
     (filter pushdown on kind, column pruning to (media_id,payload,w,h),
     Arrow batch iteration) is identical for every codec — only the
     per-payload decode differs: codec='fake' (deterministic stub for
-    formats with no decoder in this container, e.g. JPEG),
-    codec='ppm' / codec='bmp' / codec='png' (REAL stdlib+numpy
-    decoders, run green in tests — png covers the compressed-format
-    path via zlib inflate + scanline unfilter), or codec='pil' (real
-    decode when PIL is importable on the workers)."""
-    if codec not in ("fake", "pil", "ppm", "bmp", "png"):
+    formats with no decoder in this container, e.g. MP3),
+    codec='ppm' / codec='bmp' / codec='png' / codec='jpeg' (REAL
+    stdlib+numpy decoders, run green in tests — png covers the
+    lossless-compressed path via zlib inflate + scanline unfilter,
+    jpeg the lossy-compressed path via Huffman entropy decode + IDCT),
+    or codec='pil' (real decode when PIL is importable on the
+    workers)."""
+    if codec not in ("fake", "pil", "ppm", "bmp", "png", "jpeg"):
         raise ValueError(f"unknown codec {codec!r}")
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -389,6 +434,7 @@ def image_features(
             "ppm": _decode_image_ppm,
             "bmp": _decode_image_bmp,
             "png": _decode_image_png,
+            "jpeg": _decode_image_jpeg,
             "fake": lambda p: _decode_image_bytes(p, strict),
         }[codec]
         for pdf in batches:
