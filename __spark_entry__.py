@@ -1112,6 +1112,85 @@ def q_doc_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cv_suggested_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked constraint suggestion (new round 5, Deequ-style):
+    engine/suggest profiles the documents table in ONE aggregate pass
+    (count/nulls/min/max/exact-distinct/length bounds/shape-regex
+    shares) plus one bounded enum-collect pass, and emits the spec it
+    would propose. The query flattens the suggested constraints into
+    (column, kind, detail) rows; DuckDB re-derives the identical
+    suggestions from plain SQL aggregates — so the entire inference
+    rule set (not-null / enum / range / length / anchored shape
+    pattern / exact-mode unique) is hash-verified. The suggested spec
+    is also spec_from_dict-loadable and passes on the profiled data
+    (asserted in tests/test_suggest.py)."""
+    from xsd2json_spark.engine.suggest import suggest_constraints
+
+    docs = _t(spark, sf_dir, "documents")
+    cons = suggest_constraints(docs, exact=True)
+    rows = []
+    for c in cons:
+        col = c.get("column") or ",".join(c.get("columns", []))
+        if c["kind"] == "enum":
+            detail = ",".join(str(v) for v in c["values"])
+        elif c["kind"] == "constant":
+            detail = str(c["value"])
+        elif c["kind"] == "range":
+            detail = f"{c['min']}..{c['max']}"
+        elif c["kind"] == "length":
+            detail = f"{c['min']}..{c['max']}"
+        elif c["kind"] == "pattern":
+            detail = c["pattern"]
+        else:
+            detail = ""
+        rows.append((col, c["kind"], detail))
+    return spark.createDataFrame(rows, "col_name string, kind string, detail string")
+
+
+def q_doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked PII detection + redaction (new round 5):
+    deterministic fake PII (emails / SSN-shaped / phone / IPv4, keyed
+    by doc_id residues so every class and every overlap combination
+    occurs) is injected into the document text, then
+    functions/pii.scan_documents counts each class and redacts —
+    regexp_count / regexp_replace Column exprs only (JVM codegen, no
+    shuffle, map-only at scale). The patterns are written in the
+    Java-regex ∩ RE2 dialect, so DuckDB replays counts AND the md5 of
+    the redacted text exactly."""
+    from xsd2json_spark.functions import pii as P
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                            F.lit("@example.com now"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.concat(F.lit(" ssn 123-45-"),
+                            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                            F.lit(" on file"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.concat(F.lit(" call 555-01"),
+                            (F.col("doc_id") % 10).cast("string"),
+                            F.lit("-4567 today"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 17 == 0,
+                   F.concat(F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"),
+                            F.lit(".0.5 net"))).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return P.scan_documents(injected).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ssn").cast("long").alias("n_ssn"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_pii").cast("long").alias("n_pii"),
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
 def q_cv_incremental_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-checked incremental snapshot validation (new round 4):
     snapshot A = documents; snapshot B mutates it deterministically
@@ -1298,8 +1377,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_exact_dups": q_doc_exact_dups,
         "doc_langid_ngram": q_doc_langid_ngram,
-        "doc_quality": q_doc_quality,
-        "doc_stopword_ratio": q_doc_stopword_ratio,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "events_sessionization": q_events_sessionization,
         "brand_revenue": q_brand_revenue,
@@ -1323,6 +1400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_contamination": q_doc_contamination,
         "doc_repetition": q_doc_repetition,
         "doc_quality_flags": q_doc_quality_flags,
+        "doc_pii_redaction": q_doc_pii_redaction,
+        "cv_suggested_spec": q_cv_suggested_spec,
         "cv_incremental_verdicts": q_cv_incremental_verdicts,
         "cv_incremental_unique": q_cv_incremental_unique,
         "doc_dup_components": q_doc_dup_components,
@@ -1345,8 +1424,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # already hash-checked by doc_simhash; emb_knn_lsh runs the
         # same hyperplane bucket+probe kernel as the witnessed
         # emb_knn_lsh_pruned (which additionally asserts the
-        # partition-pruned indexed path).
+        # partition-pruned indexed path); doc_quality's length/punct
+        # stats and doc_stopword_ratio's stopword share are inputs to
+        # the witnessed doc_quality_flags rules and overlap
+        # doc_token_stats.
         "emb_knn_lsh": q_emb_knn_lsh,
+        "doc_quality": q_doc_quality,
+        "doc_stopword_ratio": q_doc_stopword_ratio,
         "cv_drift_ks_by_stat": q_cv_drift_ks_by_stat,
         "cv_drift_chi2_by_stat": q_cv_drift_chi2_by_stat,
         "doc_langid": q_doc_langid,
@@ -2339,6 +2423,116 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(id AS BIGINT) AS media_id, CAST(k AS BIGINT) AS pos,
                    round(CAST(CAST(gray / 255.0 AS FLOAT) AS DOUBLE), 6) AS val
             FROM g
+        """,
+        "cv_suggested_spec": """
+            WITH a AS (
+                SELECT count(*) AS n,
+                    sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS did_null,
+                    count(DISTINCT doc_id) AS did_d,
+                    min(doc_id) AS did_min, max(doc_id) AS did_max,
+                    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS txt_null,
+                    count(DISTINCT text) AS txt_d,
+                    min(length(text)) AS txt_lmin, max(length(text)) AS txt_lmax,
+                    sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS lng_null,
+                    count(DISTINCT lang) AS lng_d,
+                    min(length(lang)) AS lng_lmin, max(length(lang)) AS lng_lmax,
+                    sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS src_null,
+                    count(DISTINCT source) AS src_d,
+                    min(length(source)) AS src_lmin, max(length(source)) AS src_lmax,
+                    sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS nc_null,
+                    count(DISTINCT n_chars) AS nc_d,
+                    min(n_chars) AS nc_min, max(n_chars) AS nc_max,
+                    array_to_string(list_sort(list(DISTINCT lang) FILTER (lang IS NOT NULL)), ',') AS lng_vals,
+                    array_to_string(list_sort(list(DISTINCT source) FILTER (source IS NOT NULL)), ',') AS src_vals,
+                    sum(CASE WHEN regexp_full_match(text, '[0-9a-f]{40}') THEN 1 ELSE 0 END) AS txt_hex,
+                    sum(CASE WHEN regexp_full_match(text, '[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}') THEN 1 ELSE 0 END) AS txt_uuid,
+                    sum(CASE WHEN regexp_full_match(text, '[0-9]+') THEN 1 ELSE 0 END) AS txt_dig,
+                    sum(CASE WHEN regexp_full_match(text, '[a-z]+') THEN 1 ELSE 0 END) AS txt_alp,
+                    sum(CASE WHEN regexp_full_match(text, '[a-z][a-z0-9_-]*') THEN 1 ELSE 0 END) AS txt_tok,
+                    sum(CASE WHEN regexp_full_match(lang, '[0-9a-f]{40}') THEN 1 ELSE 0 END) AS lng_hex,
+                    sum(CASE WHEN regexp_full_match(lang, '[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}') THEN 1 ELSE 0 END) AS lng_uuid,
+                    sum(CASE WHEN regexp_full_match(lang, '[0-9]+') THEN 1 ELSE 0 END) AS lng_dig,
+                    sum(CASE WHEN regexp_full_match(lang, '[a-z]+') THEN 1 ELSE 0 END) AS lng_alp,
+                    sum(CASE WHEN regexp_full_match(lang, '[a-z][a-z0-9_-]*') THEN 1 ELSE 0 END) AS lng_tok,
+                    sum(CASE WHEN regexp_full_match(source, '[0-9a-f]{40}') THEN 1 ELSE 0 END) AS src_hex,
+                    sum(CASE WHEN regexp_full_match(source, '[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}') THEN 1 ELSE 0 END) AS src_uuid,
+                    sum(CASE WHEN regexp_full_match(source, '[0-9]+') THEN 1 ELSE 0 END) AS src_dig,
+                    sum(CASE WHEN regexp_full_match(source, '[a-z]+') THEN 1 ELSE 0 END) AS src_alp,
+                    sum(CASE WHEN regexp_full_match(source, '[a-z][a-z0-9_-]*') THEN 1 ELSE 0 END) AS src_tok
+                FROM documents
+            )
+            SELECT 'doc_id' AS col_name, 'not_null' AS kind, '' AS detail FROM a WHERE n > 0 AND did_null = 0
+            UNION ALL SELECT 'doc_id', 'range', CAST(did_min AS VARCHAR) || '..' || CAST(did_max AS VARCHAR) FROM a WHERE did_min IS NOT NULL
+            UNION ALL SELECT 'doc_id', 'unique', '' FROM a WHERE n > 0 AND did_null = 0 AND did_d = n
+            UNION ALL SELECT 'text', 'not_null', '' FROM a WHERE n > 0 AND txt_null = 0
+            UNION ALL SELECT 'text', 'length', CAST(txt_lmin AS VARCHAR) || '..' || CAST(txt_lmax AS VARCHAR) FROM a WHERE txt_lmin IS NOT NULL
+            UNION ALL SELECT 'text', 'pattern',
+                CASE WHEN txt_hex = n - txt_null THEN '[0-9a-f]{40}'
+                     WHEN txt_uuid = n - txt_null THEN '[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}'
+                     WHEN txt_dig = n - txt_null THEN '[0-9]+'
+                     WHEN txt_alp = n - txt_null THEN '[a-z]+'
+                     WHEN txt_tok = n - txt_null THEN '[a-z][a-z0-9_-]*' END
+                FROM a WHERE n - txt_null > 0 AND greatest(txt_hex, txt_uuid, txt_dig, txt_alp, txt_tok) = n - txt_null
+            UNION ALL SELECT 'text', 'unique', '' FROM a WHERE n > 0 AND txt_null = 0 AND txt_d = n
+            UNION ALL SELECT 'lang', 'not_null', '' FROM a WHERE n > 0 AND lng_null = 0
+            UNION ALL SELECT 'lang', 'enum', lng_vals FROM a WHERE lng_d BETWEEN 2 AND 24
+            UNION ALL SELECT 'lang', 'constant', lng_vals FROM a WHERE lng_d = 1
+            UNION ALL SELECT 'lang', 'length', CAST(lng_lmin AS VARCHAR) || '..' || CAST(lng_lmax AS VARCHAR) FROM a WHERE lng_lmin IS NOT NULL
+            UNION ALL SELECT 'lang', 'pattern',
+                CASE WHEN lng_hex = n - lng_null THEN '[0-9a-f]{40}'
+                     WHEN lng_uuid = n - lng_null THEN '[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}'
+                     WHEN lng_dig = n - lng_null THEN '[0-9]+'
+                     WHEN lng_alp = n - lng_null THEN '[a-z]+'
+                     WHEN lng_tok = n - lng_null THEN '[a-z][a-z0-9_-]*' END
+                FROM a WHERE n - lng_null > 0 AND greatest(lng_hex, lng_uuid, lng_dig, lng_alp, lng_tok) = n - lng_null
+            UNION ALL SELECT 'lang', 'unique', '' FROM a WHERE n > 0 AND lng_null = 0 AND lng_d = n
+            UNION ALL SELECT 'source', 'not_null', '' FROM a WHERE n > 0 AND src_null = 0
+            UNION ALL SELECT 'source', 'enum', src_vals FROM a WHERE src_d BETWEEN 2 AND 24
+            UNION ALL SELECT 'source', 'constant', src_vals FROM a WHERE src_d = 1
+            UNION ALL SELECT 'source', 'length', CAST(src_lmin AS VARCHAR) || '..' || CAST(src_lmax AS VARCHAR) FROM a WHERE src_lmin IS NOT NULL
+            UNION ALL SELECT 'source', 'pattern',
+                CASE WHEN src_hex = n - src_null THEN '[0-9a-f]{40}'
+                     WHEN src_uuid = n - src_null THEN '[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}'
+                     WHEN src_dig = n - src_null THEN '[0-9]+'
+                     WHEN src_alp = n - src_null THEN '[a-z]+'
+                     WHEN src_tok = n - src_null THEN '[a-z][a-z0-9_-]*' END
+                FROM a WHERE n - src_null > 0 AND greatest(src_hex, src_uuid, src_dig, src_alp, src_tok) = n - src_null
+            UNION ALL SELECT 'source', 'unique', '' FROM a WHERE n > 0 AND src_null = 0 AND src_d = n
+            UNION ALL SELECT 'n_chars', 'not_null', '' FROM a WHERE n > 0 AND nc_null = 0
+            UNION ALL SELECT 'n_chars', 'range', CAST(nc_min AS VARCHAR) || '..' || CAST(nc_max AS VARCHAR) FROM a WHERE nc_min IS NOT NULL
+            UNION ALL SELECT 'n_chars', 'unique', '' FROM a WHERE n > 0 AND nc_null = 0 AND nc_d = n
+        """,
+        "doc_pii_redaction": """
+            WITH injected AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' on file' ELSE '' END
+                       || CASE WHEN doc_id % 13 = 0 THEN ' call 555-01' || CAST(doc_id % 10 AS VARCHAR) || '-4567 today' ELSE '' END
+                       || CASE WHEN doc_id % 17 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.5 net' ELSE '' END
+                       AS t
+                FROM documents WHERE text IS NOT NULL
+            ),
+            counted AS (
+                SELECT doc_id, t,
+                       len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+                       len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssn,
+                       len(regexp_extract_all(t, '(?:\\+\\d{1,2}[-. ])?\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}\\b')) AS n_phone,
+                       len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4
+                FROM injected
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_email AS BIGINT) AS n_email,
+                   CAST(n_ssn AS BIGINT) AS n_ssn,
+                   CAST(n_phone AS BIGINT) AS n_phone,
+                   CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+                   CAST(n_email + n_ssn + n_phone + n_ipv4 AS BIGINT) AS n_pii,
+                   md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+                       '(?:\\+\\d{1,2}[-. ])?\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')) AS redacted_md5
+            FROM counted
         """,
         "media_image_features_jpeg": """
             WITH m AS (SELECT unnest(range(64)) AS id),
