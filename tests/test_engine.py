@@ -559,15 +559,21 @@ def test_fused_partitioned_spec(spark):
 
 
 def test_fused_resolution_rules(spark):
-    """Auto (None) -> fused for approx runs with row-level constraints;
-    exact-distinct runs and row-less specs stay two-pass."""
+    """Auto (None) -> two-pass (measured: the narrow-derivative cache
+    round-trip LOSES to a second codegen'd scan on narrow content,
+    BENCH/BYTES_PER_ROW.md); fused is an explicit opt-in for wide
+    (KB+) content, and even forced it falls back for exact-distinct
+    runs and row-less specs."""
     from xsd2json_spark import spec_from_dict
 
     spec = _fused_spec()
-    assert ValidationEngine(spark, spec, config=EngineConfig())._resolve_fused()
+    assert not ValidationEngine(spark, spec, config=EngineConfig())._resolve_fused()
+    assert ValidationEngine(spark, spec, config=EngineConfig(fused=True))._resolve_fused()
     assert not ValidationEngine(spark, spec, config=EngineConfig(fused=False))._resolve_fused()
-    assert not ValidationEngine(spark, spec, config=EngineConfig(exact=True))._resolve_fused()
-    assert not ValidationEngine(spark, spec, config=EngineConfig(approx_distinct=False))._resolve_fused()
+    assert not ValidationEngine(
+        spark, spec, config=EngineConfig(fused=True, exact=True))._resolve_fused()
+    assert not ValidationEngine(
+        spark, spec, config=EngineConfig(fused=True, approx_distinct=False))._resolve_fused()
     table_only = spec_from_dict({
         "name": "t", "key_columns": ["repo"],
         "constraints": [{"kind": "unique", "id": "uq", "columns": ["repo", "path", "commit"]}],

@@ -85,15 +85,37 @@ def measure(spark, df, spec, dims, cfg, n_rows: int) -> dict:
 
 
 def main():
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
+    # --wide K: repeat the content column K times (~70 B -> ~70*K B),
+    # emulating real repository files (KB-scale blobs) — the domain
+    # EngineConfig.fused is designed for. Default narrow (the
+    # north-star synthetic table as benched).
+    argv = list(sys.argv[1:])
+    wide = 0
+    if "--wide" in argv:
+        i = argv.index("--wide")
+        wide = int(argv[i + 1])
+        del argv[i:i + 2]
+    n_rows = int(argv[0]) if argv else 16_000_000
     spark = get_spark(
         app_name="bytes_per_row",
         extra_conf={"spark.ui.enabled": "true",
                     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")},
     )
-    path = f"/tmp/bench_files_{n_rows}.parquet"
+    tag = f"_w{wide}" if wide else ""
+    path = f"/tmp/bench_files_{n_rows}{tag}.parquet"
     if not os.path.exists(path):
-        files_table(spark, n_rows=n_rows).write.mode("overwrite").parquet(path)
+        from pyspark.sql import functions as F
+
+        base = files_table(spark, n_rows=n_rows)
+        if wide:
+            base = base.withColumn(
+                "content",
+                F.when(
+                    F.col("content").isNotNull(),
+                    F.concat_ws("\n", F.array_repeat(F.col("content"), wide)),
+                ),
+            )
+        base.write.mode("overwrite").parquet(path)
     df = spark.read.parquet(path)
     spec = spec_from_dict(FILES_SPEC)
     dims = {"repos_dim": repos_dim(spark)}
@@ -114,18 +136,20 @@ def main():
     )
     report = {
         "n_rows": n_rows,
+        "wide": wide,
         "parquet_bytes": on_disk,
         "parquet_bytes_per_row": round(on_disk / n_rows, 1),
         "modes": results,
     }
-    out = os.path.join(REPO, "BENCH", "bytes_per_row.json")
+    out = os.path.join(REPO, "BENCH", f"bytes_per_row{tag}.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
 
     md = [
-        "# Bytes moved per validated row (FILES_SPEC, full constraint suite)",
+        f"# Bytes moved per validated row (FILES_SPEC{', content x' + str(wide) if wide else ''})",
         "",
-        f"Input: synthetic files table, {n_rows:,} rows, "
+        f"Input: synthetic files table{f', content repeated {wide}x (KB-wide rows)' if wide else ''}, "
+        f"{n_rows:,} rows, "
         f"{on_disk/1e9:.2f} GB parquet ({on_disk/n_rows:.0f} B/row on disk).",
         "Stage-metric totals over exactly the stages each run submitted",
         "(Spark REST API delta); 1 warm-up + 1 measured run per mode.",
@@ -150,7 +174,8 @@ def main():
         "vs ~2x parquet for two_pass. See EngineConfig.fused in",
         "`xsd2json_spark/engine/validate.py`.",
     ]
-    with open(os.path.join(REPO, "BENCH", "BYTES_PER_ROW.md"), "w") as f:
+    md_path = os.path.join(REPO, "BENCH", f"BYTES_PER_ROW{'_WIDE' if wide else ''}.md")
+    with open(md_path, "w") as f:
         f.write("\n".join(md) + "\n")
     print(json.dumps(report))
     spark.stop()

@@ -134,13 +134,24 @@ class EngineConfig:
     # content column is decompressed and predicate-evaluated exactly
     # ONCE per run, and unlike the observe mode above the scan keeps
     # whole-stage codegen (the cache is a columnar InMemoryRelation).
-    # Three-valued: None = auto (fused whenever the spec has row-level
-    # constraints and the run allows approx distinct), True = force,
-    # False = always two-pass. Exact-distinct runs (exact=True or
-    # approx_distinct=False — the oracle-parity configs) always fall
-    # back to two-pass: HLL-over-hash is statistically equivalent to
-    # HLL-over-value but not bit-identical, and exact count_distinct
-    # would need the full value in the narrow cache, defeating it.
+    # Three-valued: None = auto, True = force, False = always two-pass.
+    # MEASURED (BENCH/BYTES_PER_ROW.md, 16M rows, 82 B/row parquet):
+    # fused is ~3x SLOWER than two-pass on NARROW content — the narrow
+    # derivative (40-char commit keys + 64-char sketch prefixes) is
+    # WIDER than short content, so the cache round-trip (663 B/row of
+    # InMemoryRelation reads across 4 consumers) costs more than a
+    # second codegen'd parquet scan. Fused pays off only when content
+    # is KB-wide: BENCH/BYTES_PER_ROW_WIDE.md (same spec, content x16)
+    # measures fused 4.0x FASTER than two-pass (124,947 vs 31,440
+    # files/s) once the content column dominates row width — which the
+    # engine cannot know before scanning — so AUTO RESOLVES TO
+    # TWO-PASS and fused stays an explicit opt-in for wide-content
+    # tables (real repo files, KB-MB blobs). Exact-distinct runs
+    # (exact=True or approx_distinct=False — the oracle-parity
+    # configs) always fall back to two-pass even when forced:
+    # HLL-over-hash is statistically equivalent to HLL-over-value but
+    # not bit-identical, and exact count_distinct would need the full
+    # value in the narrow cache, defeating it.
     fused: Optional[bool] = None
 
 
@@ -576,13 +587,16 @@ class ValidationEngine:
         but not bit-identical to hashing the value itself — so the
         oracle-parity exact configs stay on the two-pass plan and keep
         bit-stable stats)."""
-        if self.config.fused is False:
+        if self.config.fused is not True:
+            # auto (None) resolves to two-pass: on narrow content the
+            # cache round-trip LOSES to a second codegen'd scan
+            # (measured 3x, BENCH/BYTES_PER_ROW.md) and row width is
+            # unknowable before the scan — wide-content callers opt in.
             return False
         if not self.spec.row_level():
             return False
         if self.config.exact or not self.config.approx_distinct:
-            if self.config.fused:
-                _log.info("fused: exact-distinct run needs full values; using two-pass plan")
+            _log.info("fused: exact-distinct run needs full values; using two-pass plan")
             return False
         return True
 
