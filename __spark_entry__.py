@@ -1279,6 +1279,55 @@ def q_cv_incremental_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cv_incremental_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked incremental FOREIGN-KEY validation (new round 5):
+    the FK check composed from a fact-side keyed count state instead of
+    re-shuffling the snapshot's keys. Snapshot A = documents; snapshot
+    B deletes doc_id >= 480, rewrites lang to the dangling 'zz' where
+    doc_id % 17 == 0, and rewrites text where doc_id % 13 == 0 (a
+    payload-only update whose +1/-1 must compose to a net zero on the
+    lang counts). Spark NEVER groups B's keys: it composes A's
+    key_counts state with the multiset-aware snapshot delta, then
+    anti-joins the composed counts against the CURRENT dim (distinct
+    langs of A) at verdict time — fact-side state, so a dim change
+    would need no rebuild (engine/incremental.py:fk_dangling_counts).
+    DuckDB replays a from-scratch NOT IN over B; equality proves the
+    composition + verdict-time anti-join exact. Registered past the
+    driver's 50-row capture — verify via tools/check_oracle.py."""
+    from xsd2json_spark.engine.incremental import (
+        compose_key_counts,
+        fk_dangling_counts,
+        key_counts,
+        snapshot_delta,
+    )
+    from xsd2json_spark.spec.constraints import ForeignKey
+
+    a = _t(spark, sf_dir, "documents")
+    b = (
+        a.filter(F.col("doc_id") < 480)
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 17 == 0, F.lit("zz"))
+            .when(F.col("doc_id") % 19 == 0, F.lit("qq"))
+            .otherwise(F.col("lang")),
+        )
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 13 == 0, F.lit("rewritten in snapshot B"))
+            .otherwise(F.col("text")),
+        )
+    )
+    dim = a.select("lang").na.drop().distinct()
+    state = key_counts(a, ["lang"])
+    added, removed = snapshot_delta(a, b, ["doc_id"])
+    composed = compose_key_counts(state, added, removed, ["lang"])
+    c = ForeignKey(id="fk_lang", columns=["lang"], ref_table="langs", ref_columns=["lang"])
+    return fk_dangling_counts(composed, dim, c).select(
+        F.col("lang").alias("lang"),
+        F.col("n").cast("long").alias("dangling_rows"),
+    )
+
+
 def q_doc_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-checked dedup group assembly (new round 4): connected
     components over the md5 MinHash near-dup PAIR graph — the step
@@ -1414,6 +1463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_frames_wav": q_media_audio_frames_wav,
         "media_video_frame_index": q_media_video_frame_index,
         # --- past the driver's 50-row CORRECTNESS capture from here ---
+        # New round-5 oracle-able query (no in-capture slot left without
+        # evicting a witnessed row; replay via tools/check_oracle.py):
+        "cv_incremental_fk": q_cv_incremental_fk,
         # Oracle-able but redundant witnesses (spilled by the 50-row
         # cap; replayable any time via tools/check_oracle.py):
         # cv_drift_ks_by_stat / cv_drift_chi2_by_stat run the same
@@ -2156,6 +2208,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(count(*) AS BIGINT) AS dup_count
             FROM b GROUP BY doc_id HAVING count(*) > 1
+        """,
+        "cv_incremental_fk": """
+            WITH b AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 17 = 0 THEN 'zz'
+                            WHEN doc_id % 19 = 0 THEN 'qq'
+                            ELSE lang END AS lang
+                FROM documents WHERE doc_id < 480
+            ),
+            dim AS (SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL)
+            SELECT lang, CAST(count(*) AS BIGINT) AS dangling_rows
+            FROM b
+            WHERE lang IS NOT NULL AND lang NOT IN (SELECT lang FROM dim)
+            GROUP BY lang
         """,
         "doc_dup_components": _dup_components_oracle(),
         "doc_dedup_survivors": _dedup_survivors_oracle(),

@@ -259,3 +259,153 @@ def test_incremental_verdicts_with_unique_state(spark, snapshots):
     full2 = vmap(ValidationEngine(spark, spec).run(b).verdicts)
     assert inc2 == full2
     assert inc2["pk"] == (0, True)
+
+
+def test_fk_state_composes_and_matches_engine(spark):
+    """FK verdict composed from the fact-side key-count state + delta
+    equals a from-scratch run: dangling rows introduced by the delta
+    are counted (per ROW, not per key), repaired rows compose out, and
+    NULL FK values pass on both paths."""
+    from xsd2json_spark.engine.incremental import key_counts
+
+    dim = spark.createDataFrame([("r1",), ("r2",)], "repo string")
+    a = spark.createDataFrame(
+        [(1, "r1"), (2, "r2"), (3, "rX"), (4, "rX"), (5, None)],
+        "doc_id long, repo string",
+    )
+    # B: one dangling row repaired, two new dangling rows (same key),
+    # one new NULL (passes)
+    b = spark.createDataFrame(
+        [(1, "r1"), (2, "r2"), (3, "r1"), (4, "rX"), (5, None),
+         (6, "rY"), (7, "rY"), (8, None)],
+        "doc_id long, repo string",
+    )
+    spec = spec_from_dict(
+        {"name": "fkinc", "key_columns": ["doc_id"], "constraints": [
+            {"kind": "foreign_key", "id": "fk", "columns": ["repo"],
+             "ref_table": "repos_dim", "broadcast": True}]}
+    )
+    dims = {"repos_dim": dim}
+    prev = ValidationEngine(spark, spec, dims=dims).run(a).verdicts
+    state = {"fk": key_counts(a, ["repo"])}
+    inc = vmap(incremental_verdicts(spark, spec, a, b, prev, dims=dims, fk_state=state))
+    full = vmap(ValidationEngine(spark, spec, dims=dims).run(b).verdicts)
+    assert inc == full
+    assert inc["fk"] == (3, False)  # rows 4, 6, 7
+
+
+def test_fk_state_survives_dim_change(spark):
+    """The FK state is fact-side only: a dim change between snapshots
+    needs NO state rebuild — the current dim enters only at the
+    verdict-time anti-join."""
+    from xsd2json_spark.engine.incremental import key_counts
+
+    a = spark.createDataFrame(
+        [(1, "r1"), (2, "r2"), (3, "r2")], "doc_id long, repo string"
+    )
+    b = a.unionByName(
+        spark.createDataFrame([(4, "r1")], "doc_id long, repo string")
+    )
+    spec = spec_from_dict(
+        {"name": "fkdim", "key_columns": ["doc_id"], "constraints": [
+            {"kind": "foreign_key", "id": "fk", "columns": ["repo"],
+             "ref_table": "repos_dim", "broadcast": True}]}
+    )
+    dim_a = spark.createDataFrame([("r1",), ("r2",)], "repo string")
+    dim_b = spark.createDataFrame([("r1",)], "repo string")  # r2 retired
+    prev = ValidationEngine(spark, spec, dims={"repos_dim": dim_a}).run(a).verdicts
+    state = {"fk": key_counts(a, ["repo"])}
+    inc = vmap(incremental_verdicts(
+        spark, spec, a, b, prev, dims={"repos_dim": dim_b}, fk_state=state
+    ))
+    full = vmap(ValidationEngine(spark, spec, dims={"repos_dim": dim_b}).run(b).verdicts)
+    assert inc == full
+    assert inc["fk"] == (2, False)  # rows 2, 3 now dangle against dim_b
+
+
+def test_cardinality_state_composes_with_null_groups(spark):
+    """Cardinality verdict composed from a NULL-keeping group-count
+    state equals a from-scratch run — including a NULL group key (which
+    groupBy keeps and an equi-join composition would silently drop) and
+    a group that drains to zero (no row, so a min bound never fires on
+    a vanished group)."""
+    from xsd2json_spark.engine.incremental import (
+        cardinality_violations_from_counts,
+        compose_key_counts,
+        key_counts,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "g1"), (2, "g1"), (3, "g2"), (4, None), (5, None), (6, "g3")],
+        "doc_id long, grp string",
+    )
+    # B: g1 grows past max, the NULL group gains a row, g3 drains away
+    b = spark.createDataFrame(
+        [(1, "g1"), (2, "g1"), (7, "g1"), (8, "g1"), (3, "g2"),
+         (4, None), (5, None), (9, None)],
+        "doc_id long, grp string",
+    )
+    spec = spec_from_dict(
+        {"name": "cinc", "key_columns": ["doc_id"], "constraints": [
+            {"kind": "cardinality", "id": "card", "group_by": ["grp"],
+             "min": 2, "max": 3}]}
+    )
+    prev = ValidationEngine(spark, spec).run(a).verdicts
+    state = {"card": key_counts(a, ["grp"], drop_null_keys=False)}
+    inc = vmap(incremental_verdicts(
+        spark, spec, a, b, prev, cardinality_state=state
+    ))
+    full = vmap(ValidationEngine(spark, spec).run(b).verdicts)
+    assert inc == full
+    assert inc["card"] == (2, False)  # g1 (4 > max), g2 (1 < min); NULL=3 ok
+
+    # violation ROWS from the composed state are byte-identical to the
+    # engine's from-scratch cardinality_violations on B
+    added, removed = snapshot_delta(a, b, ["doc_id"])
+    composed = compose_key_counts(
+        state["card"], added, removed, ["grp"], drop_null_keys=False
+    )
+    from_counts = cardinality_violations_from_counts(composed, spec.constraints[0])
+    direct = ValidationEngine(spark, spec).cardinality_violations(b, spec.constraints[0])
+    assert sorted(map(tuple, from_counts.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_all_three_states_together(spark):
+    """With unique + FK + cardinality states all supplied, the verdict
+    table composes every key-shuffle table check and still equals a
+    from-scratch run (quantile/drift absent; row-level rides the
+    delta)."""
+    from xsd2json_spark.engine.incremental import key_counts
+
+    dim = spark.createDataFrame([("r1",), ("r2",)], "repo string")
+    a = spark.createDataFrame(
+        [(i, "r%d" % (1 + i % 2), "text number %d" % i) for i in range(50)],
+        "doc_id long, repo string, text string",
+    )
+    b = (
+        a.filter("doc_id < 45")
+        .unionByName(spark.createDataFrame(
+            [(100, "rZ", "dangling"), (100, "r1", "duplicate key"), (101, "r1", "ab")],
+            "doc_id long, repo string, text string",
+        ))
+    )
+    spec = spec_from_dict(
+        {"name": "all3", "key_columns": ["doc_id"], "constraints": [
+            {"kind": "length", "id": "t_len", "column": "text", "min": 5, "max": 100},
+            {"kind": "unique", "id": "pk", "columns": ["doc_id"]},
+            {"kind": "foreign_key", "id": "fk", "columns": ["repo"],
+             "ref_table": "repos_dim", "broadcast": True},
+            {"kind": "cardinality", "id": "card", "group_by": ["repo"],
+             "min": 1, "max": 30}]}
+    )
+    dims = {"repos_dim": dim}
+    prev = ValidationEngine(spark, spec, dims=dims).run(a).verdicts
+    states = dict(
+        unique_state={"pk": key_counts(a, ["doc_id"])},
+        fk_state={"fk": key_counts(a, ["repo"])},
+        cardinality_state={"card": key_counts(a, ["repo"], drop_null_keys=False)},
+    )
+    inc = vmap(incremental_verdicts(spark, spec, a, b, prev, dims=dims, **states))
+    full = vmap(ValidationEngine(spark, spec, dims=dims).run(b).verdicts)
+    assert inc == full
+    assert inc["pk"][0] > 0 and inc["fk"][0] > 0 and inc["t_len"][0] > 0

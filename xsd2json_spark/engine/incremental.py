@@ -19,19 +19,28 @@ What is and is not incrementally composable:
   dtype, constant, allOf/anyOf): exact composition via the formula
   above — the expensive per-row work (regex + casts over content)
   runs only on the delta.
-- TABLE-LEVEL constraints (foreign_key, cardinality, quantile, drift):
-  NOT locally composable — adding one row can create a violation with
-  an UNCHANGED row. These are recomputed on the current snapshot. They
-  are the cheap side at scale: FK shuffles fixed-width keys, not
-  content, and the quantile/drift aggregates are sketch-sized.
-- UNIQUENESS is the exception among table-level checks: it IS
-  composable through a materialized keyed count table (the streaming
-  ``stream_unique_violations`` state, batch form). ``unique_key_counts``
-  materializes (key..., n) for a snapshot; ``compose_unique_counts``
-  rolls it forward over the delta with the same +added -removed
-  identity; pass the state via ``incremental_verdicts(unique_state=...)``
-  and the dominant table-level check stops rescanning the snapshot's
-  keys too.
+- TABLE-LEVEL quantile + drift: NOT locally composable (order
+  statistics and distribution distances don't subtract). Recomputed on
+  the current snapshot; both are sketch-sized aggregates.
+- UNIQUENESS, FOREIGN-KEY and CARDINALITY — the key-shuffle trio —
+  ARE composable, all through the same materialized keyed count table
+  (the streaming ``stream_unique_violations`` state, batch form):
+  ``key_counts`` materializes (key..., n) for a snapshot;
+  ``compose_key_counts`` rolls it forward over the delta with the same
+  +added -removed identity. Verdicts then read off the counts:
+  - unique: keys with n > 1 (``unique_violations_from_counts``);
+  - foreign key: counts anti-joined against the CURRENT dim, violation
+    rows = sum(n) over dangling keys
+    (``fk_violation_counts_from_counts``). The state is fact-side
+    only, so a changed dim costs nothing extra — the dim enters only
+    at verdict time, against a key-cardinality-sized table;
+  - cardinality: groups with n outside [min, max]
+    (``cardinality_violations_from_counts``); its state keeps NULL
+    group keys (groupBy semantics), unlike the unique/FK states which
+    drop NULL keys to match the engine's NULL-pass rules.
+  Pass states via ``incremental_verdicts(unique_state= / fk_state= /
+  cardinality_state=...)`` and the whole verdict table touches the
+  snapshots only for the delta scan.
 
 Delta discovery: a fingerprint anti-join on (key, sha256-of-payload)
 in both directions. This still SCANS both snapshots once (content must
@@ -50,7 +59,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from xsd2json_spark.engine.validate import VERDICT_COLUMNS, ValidationEngine
-from xsd2json_spark.spec.constraints import Spec, Unique
+from xsd2json_spark.spec.constraints import Cardinality, ForeignKey, Spec, Unique
 
 
 def snapshot_delta(
@@ -139,53 +148,85 @@ def incremental_row_verdicts(
     return out.select(*VERDICT_COLUMNS)
 
 
-def unique_key_counts(df: DataFrame, columns) -> DataFrame:
-    """The materialized uniqueness state: one (key..., n) row per
+def key_counts(df: DataFrame, columns, drop_null_keys: bool = True) -> DataFrame:
+    """The materialized keyed count state: one (key..., n) row per
     distinct key present in the snapshot. This is the batch form of the
     ``stream_unique_violations`` keyed state — persist it (parquet /
     a table) alongside the snapshot's verdicts and the NEXT snapshot's
-    uniqueness check never rescans the table: it composes this state
-    with the delta (``compose_unique_counts``).
+    unique / FK / cardinality checks never rescan the table: they
+    compose this state with the delta (``compose_key_counts``).
 
-    NULL-key rows are dropped, matching
-    ``ValidationEngine.unique_violations`` (``na.drop`` there): a NULL
-    key can't collide. One key shuffle; Spark's partial aggregation
-    pre-combines map-side, and the output is key-cardinality-sized
-    (fixed-width keys + a long), not table-sized."""
+    drop_null_keys=True (unique / FK states) drops NULL-key rows,
+    matching ``ValidationEngine.unique_violations`` (``na.drop``) and
+    ``fk_violations`` (NULL FK values pass). Cardinality states set it
+    False: ``groupBy`` keeps NULL groups and so must the state. One key
+    shuffle; Spark's partial aggregation pre-combines map-side, and the
+    output is key-cardinality-sized (fixed-width keys + a long), not
+    table-sized."""
     cols = list(columns)
+    keyed = df.select(*cols)
+    if drop_null_keys:
+        keyed = keyed.na.drop(subset=cols)
+    return keyed.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
+
+
+def unique_key_counts(df: DataFrame, columns) -> DataFrame:
+    """Uniqueness state = NULL-dropped ``key_counts`` (kept as the
+    round-4 name; unique / FK states are interchangeable when the
+    column sets match)."""
+    return key_counts(df, columns, drop_null_keys=True)
+
+
+def compose_key_counts(
+    prev_counts: DataFrame,
+    added: DataFrame,
+    removed: DataFrame,
+    columns,
+    drop_null_keys: bool = True,
+) -> DataFrame:
+    """Next snapshot's keyed count state from the previous state plus
+    the keyed delta — the same count-composition identity the row-level
+    verdicts use, applied to the key-shuffle table-level checks:
+
+        n_B(key) = n_A(key) + n_added(key) - n_removed(key)
+
+    Exact (not approximate) because snapshot_delta is multiset-aware:
+    a key whose multiplicity changes surfaces the net copies in
+    added/removed. Composition is a signed UNION + one groupBy (prev
+    counts as +n, added as +1s, removed as -1s): NULL group keys
+    compose correctly (groupBy is null-safe where an equi-join is not),
+    and the one shuffle sees three key-cardinality-bounded inputs,
+    never the snapshots themselves. Keys composing to n = 0 are dropped
+    (the key left the table — a from-scratch groupBy emits no row for
+    it either)."""
+    cols = list(columns)
+
+    def _delta(df: DataFrame, sign: int) -> DataFrame:
+        keyed = df.select(*cols)
+        if drop_null_keys:
+            keyed = keyed.na.drop(subset=cols)
+        return keyed.groupBy(*cols).agg(
+            (F.count(F.lit(1)) * sign).alias("__d")
+        )
+
+    u = (
+        prev_counts.select(*cols, F.col("n").alias("__d"))
+        .unionByName(_delta(added, 1))
+        .unionByName(_delta(removed, -1))
+    )
     return (
-        df.select(*cols)
-        .na.drop(subset=cols)
-        .groupBy(*cols)
-        .agg(F.count(F.lit(1)).alias("n"))
+        u.groupBy(*cols)
+        .agg(F.sum("__d").cast("long").alias("n"))
+        .filter(F.col("n") > 0)
     )
 
 
 def compose_unique_counts(
     prev_counts: DataFrame, added: DataFrame, removed: DataFrame, columns
 ) -> DataFrame:
-    """Next snapshot's uniqueness state from the previous state plus
-    the keyed delta — the same count-composition identity the row-level
-    verdicts use, applied to the one table-level check that dominates
-    at scale:
-
-        n_B(key) = n_A(key) + n_added(key) - n_removed(key)
-
-    Exact (not approximate) because snapshot_delta is multiset-aware:
-    a key whose multiplicity changes surfaces the net copies in
-    added/removed. Keys composing to n = 0 are dropped (the key left
-    the table). The delta sides are aggregated first, so the full-outer
-    join is counts-vs-counts — three key-cardinality-bounded inputs,
-    never the snapshots themselves."""
-    cols = list(columns)
-    p = prev_counts.select(*cols, F.col("n").alias("__p"))
-    a = unique_key_counts(added, cols).select(*cols, F.col("n").alias("__a"))
-    r = unique_key_counts(removed, cols).select(*cols, F.col("n").alias("__r"))
-    j = p.join(a, cols, "full").join(r, cols, "full")
-    z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
-    return j.select(
-        *cols, (z("__p") + z("__a") - z("__r")).cast("long").alias("n")
-    ).filter(F.col("n") > 0)
+    """Round-4 name for ``compose_key_counts`` with NULL-dropped keys
+    (the unique/FK-state form)."""
+    return compose_key_counts(prev_counts, added, removed, columns, drop_null_keys=True)
 
 
 def unique_violations_from_counts(counts: DataFrame, c: Unique) -> DataFrame:
@@ -200,6 +241,51 @@ def unique_violations_from_counts(counts: DataFrame, c: Unique) -> DataFrame:
     )
 
 
+def fk_dangling_counts(counts: DataFrame, dim: DataFrame, c: ForeignKey) -> DataFrame:
+    """Dangling-key rows from a fact-side (key..., n) state table and
+    the CURRENT dimension: the state's keys anti-joined against the
+    deduplicated dim refs, keeping n — so sum(n) equals the number of
+    violating fact ROWS, matching ``ValidationEngine.fk_violations``'
+    row-per-dangling-row output exactly (asserted in test_incremental).
+
+    The dim never touches the state's construction, so a dim change
+    between snapshots needs NO state rebuild: re-run this verdict-time
+    anti-join — key-cardinality vs dim, the snapshot itself untouched.
+    NULL-pass semantics are inherited from the state (built with
+    drop_null_keys=True)."""
+    ref = F.broadcast(
+        dim.select(
+            *[F.col(rc).alias(f"__ref_{i}") for i, rc in enumerate(c.ref_columns)]
+        ).dropDuplicates()
+    )
+    cond = None
+    for i, fc in enumerate(c.columns):
+        clause = F.col(fc) == F.col(f"__ref_{i}")
+        cond = clause if cond is None else (cond & clause)
+    return counts.join(ref, on=cond, how="left_anti")
+
+
+def cardinality_violations_from_counts(counts: DataFrame, c: Cardinality) -> DataFrame:
+    """Violation rows from a (group..., n) state table (built with
+    drop_null_keys=False — groupBy keeps NULL groups) — byte-identical
+    to ``ValidationEngine.cardinality_violations`` on the full
+    snapshot: one row per out-of-bounds group, detail ``count=n``.
+    Groups that drained to n = 0 were already dropped by the
+    composition, matching the from-scratch groupBy which emits no row
+    for an absent group (so a min-bound never fires on a vanished
+    group)."""
+    cond = F.lit(False)
+    if c.min is not None:
+        cond = cond | (F.col("n") < c.min)
+    if c.max is not None:
+        cond = cond | (F.col("n") > c.max)
+    return counts.filter(cond).select(
+        *c.group_by,
+        F.lit(c.id).alias("constraint_id"),
+        F.concat(F.lit("count="), F.col("n").cast("string")).alias("detail"),
+    )
+
+
 def incremental_verdicts(
     spark: SparkSession,
     spec: Spec,
@@ -209,6 +295,8 @@ def incremental_verdicts(
     dims=None,
     config=None,
     unique_state=None,
+    fk_state=None,
+    cardinality_state=None,
 ) -> DataFrame:
     """Full verdict table for cur_df, touching only the delta for the
     row-level (content-scanning) constraints and recomputing the
@@ -216,14 +304,17 @@ def incremental_verdicts(
     ``ValidationEngine.run(cur_df)`` verdict table (asserted in
     test_incremental and by the cv_incremental_verdicts oracle).
 
-    unique_state: optional {constraint_id: (key..., n) DataFrame} —
-    the previous snapshot's ``unique_key_counts`` per Unique
-    constraint. Each covered constraint's verdict is then COMPOSED
-    from the state plus the delta (``compose_unique_counts``) instead
-    of re-shuffling every key of cur_df — with the state supplied, the
-    whole verdict table touches cur_df only for the delta scan and the
-    remaining (FK/cardinality/quantile/drift) table checks. Maintain
-    the state for the next snapshot with the same compose call."""
+    unique_state / fk_state / cardinality_state: optional
+    {constraint_id: (key..., n) DataFrame} — the previous snapshot's
+    ``key_counts`` per constraint (NULL-dropped for unique/FK,
+    NULL-kept for cardinality). Each covered constraint's verdict is
+    then COMPOSED from the state plus the delta (``compose_key_counts``)
+    instead of re-shuffling every key of cur_df — with all three
+    supplied, the verdict table touches cur_df only for the delta scan
+    and the sketch-sized quantile/drift checks. FK additionally reads
+    the CURRENT dim at verdict time (``fk_dangling_counts``), so dim
+    changes need no state rebuild. Maintain each state for the next
+    snapshot with the same compose call."""
     kwargs = {}
     if config is not None:
         kwargs["config"] = config
@@ -234,24 +325,48 @@ def incremental_verdicts(
     added, removed = snapshot_delta(prev_df, cur_df, spec.key_columns)
     verdicts = incremental_row_verdicts(engine, added, removed, prev_verdicts)
     unique_state = unique_state or {}
-    composed_uniques = [
-        c for c in spec.table_level()
-        if isinstance(c, Unique) and c.id in unique_state
-    ]
-    for c in composed_uniques:
-        counts = compose_unique_counts(unique_state[c.id], added, removed, c.columns)
-        n = unique_violations_from_counts(counts, c).agg(
-            F.count(F.lit(1)).alias("__n")
-        )
-        uv = n.select(
+    fk_state = fk_state or {}
+    cardinality_state = cardinality_state or {}
+
+    def _verdict_row(cid, n_col):
+        return n_col.select(
             F.lit("ALL").alias("partition_key"),
-            F.lit(c.id).alias("constraint_id"),
-            F.col("__n").cast("long").alias("violation_count"),
+            F.lit(cid).alias("constraint_id"),
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("violation_count"),
             F.lit(None).cast("long").alias("evaluated_count"),
-            (F.col("__n") == 0).alias("passed"),
-        )
-        verdicts = verdicts.unionByName(uv.select(*VERDICT_COLUMNS))
-    table_cs = [c for c in spec.table_level() if c not in composed_uniques]
+            (F.coalesce(F.col("__n"), F.lit(0)) == 0).alias("passed"),
+        ).select(*VERDICT_COLUMNS)
+
+    composed = []
+    for c in spec.table_level():
+        if isinstance(c, Unique) and c.id in unique_state:
+            counts = compose_key_counts(unique_state[c.id], added, removed, c.columns)
+            n = unique_violations_from_counts(counts, c).agg(
+                F.count(F.lit(1)).alias("__n")
+            )
+        elif isinstance(c, ForeignKey) and c.id in fk_state:
+            dim = (dims or {}).get(c.ref_table)
+            if dim is None:
+                raise KeyError(
+                    f"foreign_key {c.id}: dimension table {c.ref_table!r} not provided"
+                )
+            counts = compose_key_counts(fk_state[c.id], added, removed, c.columns)
+            # violation_count counts fact ROWS (sum of n), matching the
+            # from-scratch row-per-dangling-row verdict
+            n = fk_dangling_counts(counts, dim, c).agg(F.sum("n").alias("__n"))
+        elif isinstance(c, Cardinality) and c.id in cardinality_state:
+            counts = compose_key_counts(
+                cardinality_state[c.id], added, removed, c.group_by,
+                drop_null_keys=False,
+            )
+            n = cardinality_violations_from_counts(counts, c).agg(
+                F.count(F.lit(1)).alias("__n")
+            )
+        else:
+            continue
+        composed.append(c)
+        verdicts = verdicts.unionByName(_verdict_row(c.id, n))
+    table_cs = [c for c in spec.table_level() if c not in composed]
     if table_cs:
         table_spec = replace(spec, constraints=tuple(table_cs), watched_columns=())
         tbl_engine = ValidationEngine(spark, table_spec, dims=dims or {}, **kwargs)

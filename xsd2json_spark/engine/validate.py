@@ -110,6 +110,14 @@ class EngineConfig:
     # the true key discards it). The dominant cost at repo scale is this
     # shuffle, so this is the default.
     unique_via_hash: bool = True
+    # Dup-hash sets at or below this row count are materialized eagerly
+    # and BROADCAST into the candidate semi-join (see unique_violations:
+    # AQE cannot see through the reducer-side agg+filter, so without the
+    # hint the semi join sort-merges and shuffles the ENTIRE keyed
+    # table). Duplicates are anomalies, so the set is normally tiny;
+    # 5M hashes ~ 40 MB broadcast is the safety ceiling — above it the
+    # plan falls back to the shuffled semi join.
+    unique_dup_broadcast_limit: int = 5_000_000
     # TRUE single-pass mode: verdict counters + stats sketch ride the
     # violation scan as observed metrics (df.observe / CollectMetrics),
     # so the wide fact columns are decompressed ONCE per run instead of
@@ -198,6 +206,10 @@ class ValidationEngine:
         self.baselines = baselines or {}
         self.config = config or EngineConfig()
         self._dim_counts: Dict[str, int] = {}
+        # DataFrames persisted while BUILDING a result (e.g. the unique
+        # dup-hash set); handed to ValidationResult._cached so the
+        # caller's unpersist() releases them. Reset per run().
+        self._extra_cached: list = []
 
     # ------------------------------------------------------------------
     # row-level: ONE aggregation pass for verdict counters + stats sketch
@@ -369,8 +381,28 @@ class ValidationEngine:
                 .agg(F.count(F.lit(1)).alias("__c"))
                 .filter(F.col("__c") > 1)
                 .select("__h")
+                .persist()
             )
-            candidates = keyed.withColumn("__h", h).join(dup_hashes, "__h", "left_semi").drop("__h")
+            # Materialize the dup set NOW. AQE's runtime stat for the
+            # semi join's build side is the hash shuffle's MAP output
+            # (~11 B/row over the whole table); it cannot know the
+            # reducer-side agg+filter collapses that to the (anomaly-
+            # sized) duplicate set, so the lazy plan sort-merges and
+            # shuffles the ENTIRE keyed table — measured 72 B/row, the
+            # single largest byte mover in the north-star job
+            # (BENCH/BYTES_PER_ROW.md). One eager count + an explicit
+            # broadcast turns the candidate filter into a map-side semi
+            # join: the fact table never shuffles. Above the broadcast
+            # ceiling (a pathologically dup-heavy table) we keep the
+            # shuffled semi join rather than risk executor memory.
+            n_dup = dup_hashes.count()
+            self._extra_cached.append(dup_hashes)
+            right = (
+                F.broadcast(dup_hashes)
+                if n_dup <= self.config.unique_dup_broadcast_limit
+                else dup_hashes
+            )
+            candidates = keyed.withColumn("__h", h).join(right, "__h", "left_semi").drop("__h")
             counts = candidates.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
             return counts.filter(F.col("n") > 1).select(
                 *cols,
@@ -477,8 +509,10 @@ class ValidationEngine:
         """Lazy where possible: table-level verdict counts are DERIVED
         from the (persisted) violations union with one groupBy, instead
         of one eager .count() job per constraint — at scale each extra
-        action is another full scan. Only drift is eager (its statistic
-        is a driver-side formula over tiny aggregates).
+        action is another full scan. Eager exceptions: drift (its
+        statistic is a driver-side formula over tiny aggregates) and
+        the unique dup-hash set (counted so it can be broadcast — see
+        unique_violations).
 
         With config.single_pass (global specs with row-level
         constraints), the verdict counters + sketch instead ride the
@@ -487,6 +521,7 @@ class ValidationEngine:
         (the default auto mode, whenever the run allows approx
         distinct), the same one-decompression property is achieved
         WITHOUT giving up whole-stage codegen: see _run_fused."""
+        self._extra_cached = []
         if self.config.single_pass and not self.spec.partition_by and self.spec.row_level():
             return self._run_single_pass(df)
         if self._resolve_fused():
@@ -576,7 +611,7 @@ class ValidationEngine:
             verdicts=verdicts,
             violations=violations,
             stats=stats,
-            _cached=tuple(d for d in cached if d is not None),
+            _cached=tuple(d for d in [*cached, *self._extra_cached] if d is not None),
         )
 
     def _resolve_fused(self) -> bool:
@@ -782,7 +817,10 @@ class ValidationEngine:
             schema="partition_key string, column string, count long, null_count long, "
             "null_rate double, distinct long, min string, max string, quantiles array<double>",
         )
-        return ValidationResult(verdicts=verdicts, violations=violations, stats=stats, _cached=(violations,))
+        return ValidationResult(
+            verdicts=verdicts, violations=violations, stats=stats,
+            _cached=tuple([violations, *self._extra_cached]),
+        )
 
     def _conform_violations(self, v: DataFrame, keys) -> DataFrame:
         cols = []
