@@ -48,8 +48,14 @@ def table_hash(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.01"
+    only = set(a for a in argv if not os.path.isdir(a))
 
     spark = get_spark(app_name="check_oracle")
     con = duckdb.connect()
@@ -59,6 +65,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    records = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -67,6 +74,7 @@ def main():
         scols = sdf.columns
         if name not in oracles:
             print(f"{name:32s} rows={len(srows):6d}  (no oracle — rows-only check)")
+            records[name] = {"rows": len(srows), "status": "no_oracle"}
             continue
         res = con.execute(oracles[name])
         dcols = [d[0] for d in res.description]
@@ -78,6 +86,11 @@ def main():
         ok_count = len(srows) == len(drows)
         ok_hash = sh == dh
         status = "OK" if (ok_cols and ok_count and ok_hash) else "MISMATCH"
+        records[name] = {
+            "rows_spark": len(srows), "rows_oracle": len(drows),
+            "cols_match": ok_cols, "hash_match": ok_hash, "status": status,
+            "value_hash": sh,
+        }
         print(f"{name:32s} rows={len(srows):6d}/{len(drows):6d} cols={'OK' if ok_cols else scols} hash={'OK' if ok_hash else 'DIFF'} -> {status}")
         if status != "OK":
             failures.append(name)
@@ -89,6 +102,22 @@ def main():
             for line in list(dset - sset)[:3]:
                 print(f"   duck-only : {line[:160]}")
     print()
+    if json_out:
+        import json as _json
+
+        n_oracle = sum(1 for r in records.values() if r["status"] != "no_oracle")
+        payload = {
+            "sf_dir": sf_dir,
+            "n_queries": len(records),
+            "n_oracle_checked": n_oracle,
+            "n_ok": sum(1 for r in records.values() if r["status"] == "OK"),
+            "n_no_oracle": len(records) - n_oracle,
+            "failures": failures,
+            "queries": records,
+        }
+        with open(json_out, "w") as fh:
+            _json.dump(payload, fh, indent=1)
+        print(f"wrote {json_out}")
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)
