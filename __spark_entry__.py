@@ -992,6 +992,41 @@ def q_media_image_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_video_frames_mjpg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked REAL video decode (new round 5): real Motion-JPEG
+    AVI containers (synth_mjpeg_media — RIFF/AVI writer around the
+    numpy-only JPEG encoder, functions/avi.py) are parsed and each
+    frame-center-sampled timestamp's frame is decoded by the baseline
+    JPEG codec. Every element of every frame's thumbnail feature is
+    exploded and compared against DuckDB computing the pixel value
+    straight from the synthesis formula — valid because constant
+    per-8x8-block grayscale at unit quant round-trips bit-exactly
+    through baseline JPEG, and the constant-frame-rate seek (ts ->
+    container frame floor(ts/frame_duration)) is replayed in SQL. The
+    5-frames-at-10fps layout makes the 4 sampled timestamps hit
+    container frames 0/1/3/4, so the seek, the RIFF chunk walk, the
+    per-frame Huffman decode (restart intervals cycling 0/1/2 by id),
+    and the thumbnail normalization are all inside the hash. This
+    closes the last multimodal stub: the video PIXEL path is now real,
+    like PNG/JPEG images and WAV audio."""
+    from xsd2json_spark.functions import multimodal as M
+
+    media = M.synth_mjpeg_media(spark, n_rows=40)
+    vf = M.video_frame_features(media, n_frames=4, codec="mjpg")
+    return vf.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("ts_ms").cast("long").alias("ts_ms"),
+        F.posexplode("feature").alias("pos", "val"),
+    ).select(
+        "media_id",
+        "frame_idx",
+        "ts_ms",
+        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("val").cast("double"), 6).alias("val"),
+    )
+
+
 def q_media_audio_frames_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-checked REAL audio decode (new round 4): RIFF/WAVE PCM
     payloads (stdlib-written square waves, synth_wav_media) are decoded
@@ -1463,9 +1498,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_frames_wav": q_media_audio_frames_wav,
         "media_video_frame_index": q_media_video_frame_index,
         # --- past the driver's 50-row CORRECTNESS capture from here ---
-        # New round-5 oracle-able query (no in-capture slot left without
-        # evicting a witnessed row; replay via tools/check_oracle.py):
+        # New round-5 oracle-able queries (no in-capture slot left
+        # without evicting a witnessed row; the committed full replay
+        # ORACLE_FULL_r05.json and tools/check_oracle.py witness them):
         "cv_incremental_fk": q_cv_incremental_fk,
+        "media_video_frames_mjpg": q_media_video_frames_mjpg,
         # Oracle-able but redundant witnesses (spilled by the 50-row
         # cap; replayable any time via tools/check_oracle.py):
         # cv_drift_ks_by_stat / cv_drift_chi2_by_stat run the same
@@ -2636,6 +2673,32 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(CAST(((i % 15) + 1) / 16.0 AS FLOAT) AS DOUBLE), 6) AS rms,
                    round(CAST(CAST(249.0 / 1999.0 AS FLOAT) AS DOUBLE), 6) AS zcr
             FROM m CROSS JOIN f
+        """,
+        "media_video_frames_mjpg": """
+            -- replay of the real MJPEG/AVI decode: 40 videos x 4
+            -- sampled frames x 32 thumbnail cells. duration = 500 ms
+            -- (5 frames at 10 fps); sampled ts = 500*(2k+1)//8; the
+            -- constant-frame-rate seek picks container frame
+            -- cf = ts*1000 // 100000; thumbnail cell pos (4x8 grid
+            -- over the 16x8 frame) sits inside 8x8 block (pos%8)//4;
+            -- constant-block grayscale at unit quant decodes
+            -- bit-exactly to the synthesis formula
+            WITH m AS (SELECT unnest(range(40)) AS i),
+            fr AS (SELECT unnest(range(4)) AS k),
+            p AS (SELECT unnest(range(32)) AS pos),
+            g AS (
+                SELECT i, k, pos,
+                       500 * (2 * k + 1) // 8 AS ts_ms,
+                       (500 * (2 * k + 1) // 8) * 1000 // 100000 AS cf
+                FROM m CROSS JOIN fr CROSS JOIN p
+            )
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   CAST(k AS BIGINT) AS frame_idx,
+                   CAST(ts_ms AS BIGINT) AS ts_ms,
+                   CAST(pos AS BIGINT) AS pos,
+                   round(CAST(CAST(((i*17 + cf*53 + ((pos % 8) // 4) * 37) % 256) / 255.0
+                                   AS FLOAT) AS DOUBLE), 6) AS val
+            FROM g
         """,
         "media_video_frame_index": """
             WITH m AS (

@@ -432,3 +432,84 @@ def test_jpeg_codec_distributed(spark):
             [((i * 17 + ((k // 8) // 2 * 4 + (k % 8) // 2) * 37) % 256) / 255.0
              for k in range(32)], dtype=np.float32)
         assert np.array_equal(got[i], formula), i
+
+
+def test_avi_mjpg_roundtrip_and_timing():
+    """RIFF/AVI MJPEG container: encode -> parse returns the exact
+    frame payloads in order plus the frame timing; odd-sized frames
+    exercise the word-alignment pad byte; constant-frame-rate seek
+    clamps at both ends."""
+    import numpy as np
+    import pytest as _pytest
+
+    from xsd2json_spark.functions.avi import (
+        encode_avi_mjpg,
+        frame_index_at,
+        parse_avi_mjpg,
+    )
+    from xsd2json_spark.functions.jpeg import encode_jpeg
+
+    frames = [
+        encode_jpeg((np.full((8, 16), 10 * f) % 256).astype(np.uint8))
+        for f in range(3)
+    ]
+    avi = encode_avi_mjpg(frames, 40_000, 16, 8)
+    got, usec = parse_avi_mjpg(avi)
+    assert usec == 40_000
+    assert got == frames
+
+    # word-alignment: an odd-length chunk gets a pad byte the parser
+    # must skip without shifting the following frames (the container
+    # does not inspect payloads, so raw odd/even bytes stand in)
+    mixed = [b"\x01", b"\x02\x03", b"\x04\x05\x06"]
+    got2, _ = parse_avi_mjpg(encode_avi_mjpg(mixed, 40_000, 16, 8))
+    assert got2 == mixed
+
+    # seek: 25 fps -> frame 0 covers [0,40) ms, clamp below 0 and past end
+    assert frame_index_at(0, 3, 40_000) == 0
+    assert frame_index_at(39, 3, 40_000) == 0
+    assert frame_index_at(40, 3, 40_000) == 1
+    assert frame_index_at(1_000_000, 3, 40_000) == 2
+
+    with _pytest.raises(ValueError, match="not an AVI"):
+        parse_avi_mjpg(b"RIFX" + avi[4:])
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_avi_mjpg(avi[:-7])
+    with _pytest.raises(ValueError, match="at least one frame"):
+        encode_avi_mjpg([], 40_000, 16, 8)
+
+
+def test_mjpg_video_codec_distributed(spark):
+    """The full distributed REAL-video path: synth_mjpeg_media ->
+    video_frame_features(codec='mjpg') over mapInPandas equals both
+    the driver-side parse+decode of the same payloads AND the
+    synthesis pixel formula with the constant-frame-rate seek (the
+    oracle's equality, asserted in-process)."""
+    import numpy as np
+
+    from xsd2json_spark.functions.avi import frame_index_at, parse_avi_mjpg
+    from xsd2json_spark.functions.jpeg import decode_jpeg
+
+    media = M.synth_mjpeg_media(spark, n_rows=8)
+    out = M.video_frame_features(media, n_frames=4, codec="mjpg").collect()
+    assert len(out) == 8 * 4
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for r in out:
+        i, k, ts = r["media_id"], r["frame_idx"], r["ts_ms"]
+        frames, usec = parse_avi_mjpg(payloads[i])
+        cf = frame_index_at(ts, len(frames), usec)
+        assert ts == 500 * (2 * k + 1) // 8
+        want = M._thumb_feature(decode_jpeg(frames[cf])).astype(np.float32)
+        got = np.array(r["feature"], dtype=np.float32)
+        assert np.array_equal(got, want), (i, k)
+        formula = np.array(
+            [((i * 17 + cf * 53 + ((p % 8) // 4) * 37) % 256) / 255.0
+             for p in range(32)], dtype=np.float32)
+        assert np.array_equal(got, formula), (i, k)
+
+
+def test_video_codec_rejects_unknown():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown codec"):
+        M.video_frame_features(None, codec="h264")

@@ -13,17 +13,21 @@ contracts. Codec status per format:
   numpy-only entropy decode + IDCT, see functions/jpeg.py: Huffman
   tables from DHT, 4:4:4/4:2:0/4:2:2 MCU walk, restart markers),
   RIFF/WAVE PCM audio (``codec='wav'`` — stdlib ``wave`` + numpy,
-  8/16/32-bit, multi-channel downmixed). PNG and JPEG are COMPRESSED
-  formats, so both the lossless-compressed and the lossy-compressed
-  image paths are executable and oracle-checked in this sandbox.
+  8/16/32-bit, multi-channel downmixed), and Motion-JPEG VIDEO in a
+  RIFF/AVI container (``video_frame_features(codec='mjpg')`` —
+  functions/avi.py chunk walk + constant-frame-rate seek + per-frame
+  baseline JPEG decode). PNG and JPEG are COMPRESSED formats, so the
+  lossless-compressed and lossy-compressed image paths AND the video
+  pixel path are all executable and oracle-checked in this sandbox.
 - REAL but gated on the library being importable on the workers:
   ``codec='pil'`` (PIL is not in this container; the branch is written
   and plan-asserted identical).
 - STUBBED (deterministic seeded fakes or NotImplementedError in strict
-  mode): the remaining compressed formats — MP3/AAC audio, any video
-  container (ffmpeg/librosa are not in this container). The video
-  frame SAMPLING contract (which timestamps, what fan-out) is real and
-  oracle-checked; only the per-frame pixel decode is fake.
+  mode): the remaining compressed formats — MP3/AAC audio, inter-frame
+  video codecs (MP4/H.264 — ffmpeg is not in this container). For
+  those the frame SAMPLING contract (which timestamps, what fan-out)
+  is still real and oracle-checked (media_video_frame_index); only
+  the per-frame pixel decode is fake.
 """
 
 from __future__ import annotations
@@ -606,7 +610,8 @@ VIDEO_FRAME_SCHEMA = StructType(
 
 def _decode_video_frame(payload: bytes, ts_ms: int, strict: bool = False) -> np.ndarray:
     """STUB codec: (payload, timestamp) seed a deterministic fake frame
-    thumbnail feature — the real ffmpeg seek+decode drops in here."""
+    thumbnail feature — a real ffmpeg seek+decode would drop in here
+    for formats beyond MJPEG-in-AVI (which IS real: codec='mjpg')."""
     if strict:
         raise NotImplementedError("strict mode: no video codec selected")
     seed = (int.from_bytes(payload[:8].ljust(8, b"\0"), "little") ^ (ts_ms * 2654435761)) & 0x7FFFFFFF
@@ -614,24 +619,87 @@ def _decode_video_frame(payload: bytes, ts_ms: int, strict: bool = False) -> np.
     return rng.standard_normal(FEATURE_DIM).astype(np.float32)
 
 
-def video_frame_features(media: DataFrame, n_frames: int = 4, strict: bool = False) -> DataFrame:
+def video_frame_features(
+    media: DataFrame, n_frames: int = 4, strict: bool = False, codec: str = "fake"
+) -> DataFrame:
     """Uniform frame sampling: each video row emits n_frames feature
     rows at evenly spaced timestamps across its duration. Fan-out
     happens inside the Arrow batch (no explode shuffle); scan pruned to
-    video rows and (media_id, payload, duration_ms)."""
+    video rows and (media_id, payload, duration_ms).
+
+    codec='mjpg' REALLY decodes: the payload is parsed as a RIFF/AVI
+    Motion-JPEG container (functions/avi.py), the container is parsed
+    ONCE per video row, the constant-frame-rate frame covering each
+    sampled timestamp is selected, and its JPEG payload decodes through
+    the dependency-free baseline JPEG codec (functions/jpeg.py) into
+    the shared thumbnail feature. codec='fake' keeps the deterministic
+    stub for containers with no decoder in this sandbox (MP4/H.264
+    etc. — ffmpeg is not installed)."""
+    if codec not in ("fake", "mjpg"):
+        raise ValueError(f"unknown codec {codec!r}")
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xsd2json_spark.functions.avi import frame_index_at, parse_avi_mjpg
+        from xsd2json_spark.functions.jpeg import decode_jpeg
+
         for pdf in batches:
             out = {"media_id": [], "frame_idx": [], "ts_ms": [], "feature": []}
             for mid, p, dur in zip(pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
                 payload = p if isinstance(p, (bytes, bytearray)) else bytes(p)
+                if codec == "mjpg":
+                    frames, usec = parse_avi_mjpg(payload)
+                    decoded: dict = {}  # container-frame idx -> feature (a sampled ts pair may share a frame)
                 for i in range(n_frames):
                     ts = int(dur) * (2 * i + 1) // (2 * n_frames)  # frame-center sampling
+                    if codec == "mjpg":
+                        fi = frame_index_at(ts, len(frames), usec)
+                        if fi not in decoded:
+                            decoded[fi] = _thumb_feature(decode_jpeg(frames[fi])).tolist()
+                        feat = decoded[fi]
+                    else:
+                        feat = _decode_video_frame(payload, ts, strict).tolist()
                     out["media_id"].append(mid)
                     out["frame_idx"].append(i)
                     out["ts_ms"].append(ts)
-                    out["feature"].append(_decode_video_frame(payload, ts, strict).tolist())
+                    out["feature"].append(feat)
             yield pd.DataFrame(out)
 
     pruned = media.filter(F.col("kind") == "video").select("media_id", "payload", "duration_ms")
     return pruned.mapInPandas(_extract, schema=VIDEO_FRAME_SCHEMA)
+
+
+def synth_mjpeg_media(
+    spark, n_rows: int = 40, w: int = 16, h: int = 8, n_frames: int = 5,
+    usec_per_frame: int = 100_000,
+) -> DataFrame:
+    """Deterministic media table whose payloads are REAL Motion-JPEG
+    AVI files: video i carries n_frames grayscale JPEG frames
+    (functions/avi.encode_avi_mjpg around functions/jpeg.encode_jpeg);
+    pixel (r, c) of frame f is constant within each 8x8 block —
+    gray = (i*17 + f*53 + block_index*37) % 256 — with unit quant
+    tables, so every decoded thumbnail value is SQL-replayable from
+    the formula (constant blocks round-trip bit-exactly through
+    baseline JPEG, same argument as synth_jpeg_media). duration_ms =
+    n_frames * usec_per_frame / 1000 — the frame-center sampling
+    timestamps land on distinct container frames, exercising the
+    constant-frame-rate seek. Payloads are built driver-side (a demo
+    table); parse + decode run distributed."""
+    from xsd2json_spark.functions.avi import encode_avi_mjpg
+    from xsd2json_spark.functions.jpeg import encode_jpeg
+
+    bw = w // 8
+    rows = []
+    for i in range(n_rows):
+        frames = []
+        for f in range(n_frames):
+            rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            px = ((i * 17 + f * 53 + ((rr // 8) * bw + cc // 8) * 37) % 256).astype(np.uint8)
+            frames.append(encode_jpeg(px, quant=1, restart_interval=i % 3))
+        payload = encode_avi_mjpg(frames, usec_per_frame, w, h)
+        dur = n_frames * usec_per_frame // 1000
+        rows.append((i, "video", "video/x-msvideo", bytearray(payload), w, h, dur))
+    return spark.createDataFrame(
+        rows,
+        "media_id long, kind string, mime string, payload binary, "
+        "width int, height int, duration_ms long",
+    )
