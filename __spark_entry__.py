@@ -1314,6 +1314,60 @@ def q_cv_incremental_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cv_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked functional-dependency check (new round 5, Deequ
+    hasUniqueValueRatio analog): l_partkey -> l_suppkey over lineitem
+    is heavily violated (a part ships from multiple suppliers), so the
+    engine's fd_violations — ONE determinant-keyed shuffle with
+    map-side partial dedup via Catalyst's distinct-agg rewrite — emits
+    one evidence row per inconsistent part with a deterministic
+    n_values + lexicographic min/max-prefix detail that DuckDB replays
+    verbatim."""
+    from xsd2json_spark import FunctionalDependency, Spec
+    from xsd2json_spark.engine import ValidationEngine
+
+    li = _t(spark, sf_dir, "lineitem")
+    spec = Spec(
+        name="fd", key_columns=["l_partkey"],
+        constraints=[FunctionalDependency(
+            id="part_supp_fd", determinants=["l_partkey"], dependent="l_suppkey")],
+    )
+    res = ValidationEngine(spark, spec).run(li)
+    return res.violations.select(
+        F.col("l_partkey").cast("long").alias("l_partkey"),
+        "constraint_id",
+        "detail",
+    )
+
+
+def q_cv_ratio_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked max_fail_ratio compliance verdicts (new round 5,
+    Deequ hasCompleteness analog): the same violation counters flip
+    passed under per-constraint tolerances — NotNull(text) strict vs
+    5%-tolerant, plus a 2%-tolerant Range on n_chars — and DuckDB
+    replays the counter AND the policy arithmetic, so the verdict
+    boundary itself is inside the hash."""
+    from xsd2json_spark import NotNull, Range, Spec
+    from xsd2json_spark.engine import ValidationEngine
+
+    docs = _t(spark, sf_dir, "documents")
+    spec = Spec(
+        name="ratio", key_columns=["doc_id"],
+        constraints=[
+            NotNull(id="text_nn_strict", column="text"),
+            NotNull(id="text_nn_tol5", column="text", max_fail_ratio=0.05),
+            Range(id="chars_pos_tol2", column="n_chars", min=1, max_fail_ratio=0.02),
+        ],
+    )
+    res = ValidationEngine(spark, spec).run(docs)
+    return res.verdicts.select(
+        "constraint_id",
+        F.col("violation_count").cast("long").alias("violation_count"),
+        F.col("evaluated_count").cast("long").alias("evaluated_count"),
+        "passed",
+    )
+
+
 def q_cv_incremental_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-checked incremental FOREIGN-KEY validation (new round 5):
     the FK check composed from a fact-side keyed count state instead of
@@ -1503,6 +1557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ORACLE_FULL_r05.json and tools/check_oracle.py witness them):
         "cv_incremental_fk": q_cv_incremental_fk,
         "media_video_frames_mjpg": q_media_video_frames_mjpg,
+        "cv_fd_violations": q_cv_fd_violations,
+        "cv_ratio_verdicts": q_cv_ratio_verdicts,
         # Oracle-able but redundant witnesses (spilled by the 50-row
         # cap; replayable any time via tools/check_oracle.py):
         # cv_drift_ks_by_stat / cv_drift_chi2_by_stat run the same
@@ -2245,6 +2301,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(count(*) AS BIGINT) AS dup_count
             FROM b GROUP BY doc_id HAVING count(*) > 1
+        """,
+        "cv_fd_violations": """
+            -- functional dependency l_partkey -> l_suppkey: one row per
+            -- determinant group with >1 distinct non-NULL dependent;
+            -- detail replays the engine's n_values + lexicographic
+            -- 64-char-prefix min/max evidence
+            SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+                   'part_supp_fd' AS constraint_id,
+                   'n_values=' || CAST(count(DISTINCT l_suppkey) AS VARCHAR)
+                     || ' range=' || min(substr(CAST(l_suppkey AS VARCHAR), 1, 64))
+                     || '..' || max(substr(CAST(l_suppkey AS VARCHAR), 1, 64)) AS detail
+            FROM lineitem
+            GROUP BY l_partkey
+            HAVING count(DISTINCT l_suppkey) > 1
+        """,
+        "cv_ratio_verdicts": """
+            -- max_fail_ratio verdict policy replayed in SQL: same
+            -- counters, three policies (strict, 5%-tolerant NotNull,
+            -- 2%-tolerant Range with NULL-passes semantics)
+            WITH a AS (
+                SELECT count(*) AS ec,
+                       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS nn_v,
+                       sum(CASE WHEN n_chars IS NOT NULL AND n_chars < 1
+                                THEN 1 ELSE 0 END) AS rng_v
+                FROM documents
+            )
+            SELECT 'text_nn_strict' AS constraint_id,
+                   CAST(nn_v AS BIGINT) AS violation_count,
+                   CAST(ec AS BIGINT) AS evaluated_count,
+                   nn_v = 0 AS passed FROM a
+            UNION ALL
+            SELECT 'text_nn_tol5', CAST(nn_v AS BIGINT), CAST(ec AS BIGINT),
+                   CAST(nn_v AS DOUBLE) <= 0.05 * ec FROM a
+            UNION ALL
+            SELECT 'chars_pos_tol2', CAST(rng_v AS BIGINT), CAST(ec AS BIGINT),
+                   CAST(rng_v AS DOUBLE) <= 0.02 * ec FROM a
         """,
         "cv_incremental_fk": """
             WITH b AS (

@@ -598,3 +598,129 @@ def test_fused_empty_input(spark):
         assert rows[cid]["evaluated_count"] == 0
     assert res.violations.count() == 0
     res.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# FunctionalDependency + max_fail_ratio (round 5, Deequ-parity extensions)
+# ---------------------------------------------------------------------------
+
+
+def test_functional_dependency_fixture(spark):
+    from xsd2json_spark.spec.constraints import FunctionalDependency
+
+    rows = [
+        # code -> name: US consistent, DE inconsistent (2 values),
+        # FR has one value + NULLs (consistent: NULL dependents pass),
+        # NULL determinant group with 2 values (a group like any other)
+        ("US", "United States"), ("US", "United States"),
+        ("DE", "Germany"), ("DE", "Deutschland"),
+        ("FR", "France"), ("FR", None), ("FR", None),
+        (None, "x"), (None, "y"),
+    ]
+    df = spark.createDataFrame(rows, "code string, name string")
+    spec = Spec(
+        name="t", key_columns=["code"],
+        constraints=[FunctionalDependency(id="fd", determinants=["code"], dependent="name")],
+    )
+    res = ValidationEngine(spark, spec).run(df)
+    vm = verdict_map(res)
+    assert not vm["fd"]["passed"]
+    assert vm["fd"]["violation_count"] == 2  # DE group + NULL group
+    viol = {r["code"]: r["detail"] for r in res.violations.filter(F.col("constraint_id") == "fd").collect()}
+    assert set(viol) == {"DE", None}
+    assert viol["DE"] == "n_values=2 range=Deutschland..Germany"
+    res.unpersist()
+
+    # consistent table -> pass with zero violation rows
+    ok = spark.createDataFrame([("US", "A"), ("US", "A"), ("DE", None)], "code string, name string")
+    res2 = ValidationEngine(spark, spec).run(ok)
+    assert verdict_map(res2)["fd"]["passed"]
+    assert res2.violations.filter(F.col("constraint_id") == "fd").count() == 0
+    res2.unpersist()
+
+
+def test_functional_dependency_expr_and_single_pass(spark):
+    """Dependent may be an expression; two-pass and observe single-pass
+    agree (FD is a table-level check in both plans)."""
+    from xsd2json_spark.spec.constraints import FunctionalDependency, NotNull
+
+    rows = [(1, "aa"), (1, "bb"), (2, "cc"), (2, "dd"), (3, "e")]
+    df = spark.createDataFrame(rows, "k int, s string")
+    spec = Spec(
+        name="t", key_columns=["k"],
+        constraints=[
+            NotNull(id="nn", column="s"),
+            FunctionalDependency(id="fdlen", determinants=["k"], dependent="length(s)"),
+        ],
+    )
+    two = ValidationEngine(spark, spec).run(df)
+    one = ValidationEngine(spark, spec, config=EngineConfig(single_pass=True)).run(df)
+    # length(s): k=1 -> {2}, k=2 -> {2}, k=3 -> {1} => all consistent
+    assert verdict_map(two)["fdlen"]["passed"]
+    assert verdict_map(one)["fdlen"]["passed"]
+    two.unpersist(); one.unpersist()
+
+
+def test_max_fail_ratio_verdict_policy(spark, files):
+    """Ratio-tolerant verdicts: the same violation counts flip passed
+    at the documented boundary; violation ROWS are unaffected."""
+    # content_nn: ids divisible by 997 have NULL content -> 11 of 10000
+    base = dict(id="nn", column="content")
+    strict = Spec(name="t", key_columns=["repo"], constraints=[NotNull(**base)])
+    loose = Spec(name="t", key_columns=["repo"],
+                 constraints=[NotNull(**base, max_fail_ratio=0.01)])
+    tight = Spec(name="t", key_columns=["repo"],
+                 constraints=[NotNull(**base, max_fail_ratio=0.0005)])
+    r_strict = ValidationEngine(spark, strict).run(files)
+    r_loose = ValidationEngine(spark, loose).run(files)
+    r_tight = ValidationEngine(spark, tight).run(files)
+    n = verdict_map(r_strict)["nn"]["violation_count"]
+    assert n > 0
+    assert not verdict_map(r_strict)["nn"]["passed"]
+    assert n / N <= 0.01
+    assert verdict_map(r_loose)["nn"]["passed"]          # tolerance covers the rate
+    assert not verdict_map(r_tight)["nn"]["passed"]      # tolerance below the rate
+    # evidence identical across policies
+    assert (r_loose.violations.filter(F.col("constraint_id") == "nn").count()
+            == r_strict.violations.filter(F.col("constraint_id") == "nn").count() == n)
+    for r in (r_strict, r_loose, r_tight):
+        r.unpersist()
+
+
+def test_max_fail_ratio_exact_boundary_and_single_pass(spark):
+    """passed iff violations <= ratio * evaluated, inclusive; observe
+    single-pass applies the same policy."""
+    rows = [(i, None if i < 2 else "v") for i in range(10)]
+    df = spark.createDataFrame(rows, "id int, v string")
+    at = Spec(name="t", key_columns=["id"],
+              constraints=[NotNull(id="nn", column="v", max_fail_ratio=0.2)])
+    below = Spec(name="t", key_columns=["id"],
+                 constraints=[NotNull(id="nn", column="v", max_fail_ratio=0.19)])
+    assert verdict_map(ValidationEngine(spark, at).run(df))["nn"]["passed"]
+    assert not verdict_map(ValidationEngine(spark, below).run(df))["nn"]["passed"]
+    sp = EngineConfig(single_pass=True)
+    assert verdict_map(ValidationEngine(spark, at, config=sp).run(df))["nn"]["passed"]
+    assert not verdict_map(ValidationEngine(spark, below, config=sp).run(df))["nn"]["passed"]
+
+
+def test_single_pass_clean_table_regression(spark):
+    """Regression: a violation-FREE run must not lose the observed
+    metrics. AQE's empty-relation propagation replaces an empty grouped
+    -aggregate subtree INCLUDING the CollectMetrics node, so the
+    metric-firing action must be a global aggregate (engine fix in
+    _run_single_pass); before the fix obs.get threw on any clean
+    table — the common production case."""
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "k int, s string")
+    spec = Spec(
+        name="t", key_columns=["k"],
+        constraints=[
+            NotNull(id="nn", column="s"),
+            Unique(id="uq", columns=["k"]),
+        ],
+    )
+    res = ValidationEngine(spark, spec, config=EngineConfig(single_pass=True)).run(df)
+    vm = verdict_map(res)
+    assert vm["nn"]["passed"] and vm["nn"]["evaluated_count"] == 100
+    assert vm["uq"]["passed"]
+    assert res.violations.count() == 0
+    res.unpersist()

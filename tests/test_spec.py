@@ -156,3 +156,45 @@ def test_unsupported_facet_warns_and_noops():
 def test_duplicate_ids_rejected():
     with pytest.raises(SpecError):
         Spec(name="s", constraints=[NotNull(id="a", column="x"), NotNull(id="a", column="y")])
+
+
+def test_functional_dependency_spec_validation():
+    from xsd2json_spark.spec.constraints import FunctionalDependency
+    from xsd2json_spark.spec.loader import spec_from_dict
+
+    c = spec_from_dict({
+        "name": "t",
+        "constraints": [{"kind": "functional_dependency", "id": "fd",
+                         "determinants": ["a", "b"], "dependent": "c"}],
+    }).constraints[0]
+    assert isinstance(c, FunctionalDependency)
+    assert c.determinants == ("a", "b") and c.dependent == "c"
+    with pytest.raises(SpecError, match="no determinants"):
+        FunctionalDependency(id="x", determinants=[], dependent="c")
+    with pytest.raises(SpecError, match="no dependent"):
+        FunctionalDependency(id="x", determinants=["a"], dependent="")
+    with pytest.raises(SpecError, match="vacuously true"):
+        FunctionalDependency(id="x", determinants=["a"], dependent="a")
+
+
+def test_max_fail_ratio_spec_validation():
+    from xsd2json_spark.spec.loader import spec_from_dict
+
+    c = spec_from_dict({
+        "name": "t",
+        "constraints": [{"kind": "not_null", "id": "nn", "column": "a",
+                         "max_fail_ratio": 0.02}],
+    }).constraints[0]
+    assert c.max_fail_ratio == 0.02
+    assert c.describe()["max_fail_ratio"] == 0.02
+    # default stays strict and serializes without the field
+    d = spec_from_dict({"name": "t", "constraints": [
+        {"kind": "not_null", "id": "nn", "column": "a"}]}).constraints[0]
+    assert d.max_fail_ratio is None
+    assert "max_fail_ratio" not in d.describe()
+    with pytest.raises(SpecError, match="row-level"):
+        spec_from_dict({"name": "t", "constraints": [
+            {"kind": "unique", "id": "u", "columns": ["a"], "max_fail_ratio": 0.1}]})
+    with pytest.raises(SpecError, match="outside"):
+        spec_from_dict({"name": "t", "constraints": [
+            {"kind": "not_null", "id": "nn", "column": "a", "max_fail_ratio": 1.0}]})

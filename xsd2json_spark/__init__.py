@@ -32,6 +32,7 @@ from xsd2json_spark.spec.constraints import (  # noqa: F401
     Dtype,
     Enum,
     ForeignKey,
+    FunctionalDependency,
     Length,
     NotNull,
     Pattern,

@@ -46,6 +46,7 @@ from xsd2json_spark.spec.constraints import (
     Cardinality,
     Drift,
     ForeignKey,
+    FunctionalDependency,
     Quantile,
     Spec,
     Unique,
@@ -282,12 +283,14 @@ class ValidationEngine:
             # Column API (not a selectExpr string): constraint ids land as
             # literals, so quotes/commas/backticks in an id cannot alter
             # or break the expression.
+            row_cs = self.spec.row_level()
             pairs = F.inline(
                 F.array(
                     *[
                         F.struct(
                             F.lit(cid).alias("constraint_id"),
                             F.col(f"__viol_{i}").alias("violation_count"),
+                            F.lit(row_cs[i].max_fail_ratio).cast("double").alias("__mfr"),
                         )
                         for i, cid in enumerate(ids)
                     ]
@@ -298,12 +301,20 @@ class ValidationEngine:
                 F.col("__total").alias("evaluated_count"),
                 pairs,
             )
+            vc = F.coalesce("violation_count", F.lit(0))
+            # max_fail_ratio verdict policy (Deequ compliance): tolerate
+            # up to mfr * evaluated rows failing; default (NULL mfr)
+            # keeps the strict zero-violations rule.
+            passed = F.when(
+                F.col("__mfr").isNotNull(),
+                vc.cast("double") <= F.col("__mfr") * F.col("evaluated_count").cast("double"),
+            ).otherwise(vc == 0)
             verdicts = stacked.select(
                 "partition_key",
                 "constraint_id",
-                F.coalesce("violation_count", F.lit(0)).alias("violation_count"),
+                vc.alias("violation_count"),
                 "evaluated_count",
-                (F.coalesce("violation_count", F.lit(0)) == 0).alias("passed"),
+                passed.alias("passed"),
             )
         else:
             verdicts = self.spark.createDataFrame([], schema="partition_key string, constraint_id string, violation_count long, evaluated_count long, passed boolean")
@@ -451,6 +462,37 @@ class ValidationEngine:
             F.to_json(F.struct(*[F.col(fc) for fc in c.columns])).alias("detail"),
         )
 
+    def fd_violations(self, df: DataFrame, c: FunctionalDependency) -> DataFrame:
+        """determinants -> dependent violations: one row per determinant
+        group holding more than one distinct non-NULL dependent value.
+        ONE shuffle keyed on the determinants; Catalyst's distinct-agg
+        rewrite partial-deduplicates (determinants, dependent) pairs
+        map-side before it, so a hot determinant ships at most
+        |distinct dependents| rows per map task, not its row count.
+        Evidence detail carries the value count plus the lexicographic
+        min/max 64-char prefixes of the conflicting values (prefix
+        min/max for the same agg-buffer reason as the stats sketch) —
+        deterministic, so the whole row is oracle-replayable."""
+        dep = F.expr(c.dependent) if not c.dependent.isidentifier() else F.col(c.dependent)
+        prefix = F.substring(dep.cast("string"), 1, 64)
+        groups = (
+            df.groupBy(*c.determinants)
+            .agg(
+                F.count_distinct(dep).alias("__nvals"),  # NULLs don't count
+                F.min(prefix).alias("__lo"),
+                F.max(prefix).alias("__hi"),
+            )
+            .filter(F.col("__nvals") > 1)
+        )
+        return groups.select(
+            *c.determinants,
+            F.lit(c.id).alias("constraint_id"),
+            F.concat(
+                F.lit("n_values="), F.col("__nvals").cast("string"),
+                F.lit(" range="), F.col("__lo"), F.lit(".."), F.col("__hi"),
+            ).alias("detail"),
+        )
+
     def cardinality_violations(self, df: DataFrame, c: Cardinality) -> DataFrame:
         counts = df.groupBy(*c.group_by).agg(F.count(F.lit(1)).alias("n"))
         cond = F.lit(False)
@@ -565,6 +607,12 @@ class ValidationEngine:
                 v = self.cardinality_violations(keyed_src, c)
             elif isinstance(c, Quantile):
                 v = self.quantile_violations(raw_df, c)
+            elif isinstance(c, FunctionalDependency):
+                # raw_df, not keyed_src: determinant/dependent columns
+                # are arbitrary (the fused narrow cache only carries
+                # keys + flags); the FD scan column-prunes to exactly
+                # the columns it names.
+                v = self.fd_violations(raw_df, c)
             elif isinstance(c, Drift):
                 from xsd2json_spark.engine.drift import drift_verdict
 
@@ -762,6 +810,8 @@ class ValidationEngine:
                 v = self.cardinality_violations(df, c)
             elif isinstance(c, Quantile):
                 v = self.quantile_violations(df, c)
+            elif isinstance(c, FunctionalDependency):
+                v = self.fd_violations(df, c)
             elif isinstance(c, Drift):
                 from xsd2json_spark.engine.drift import drift_verdict
 
@@ -777,19 +827,30 @@ class ValidationEngine:
         for v in all_viol[1:]:
             violations = violations.unionByName(v)
         violations = violations.persist()
-        # THE action: materializes violation rows, fires the observed
-        # metrics, and yields per-constraint violation counts in one go
+        # THE action: materializes violation rows into the cache and
+        # fires the observed metrics. It must be a GLOBAL aggregate —
+        # a grouped aggregate's partial stage emits ZERO rows on a
+        # violation-free run, and AQE's empty-relation propagation then
+        # replaces the whole subtree INCLUDING the CollectMetrics node,
+        # so the Observation never completes (measured: obs.get throws
+        # on any clean table). A global agg's partial stage always
+        # emits its one row, so the observed scan is never elided.
+        violations.count()
+        metrics = dict(obs.get)
+        # per-constraint counts now read the populated cache (no rescan)
         counts = {
             r["constraint_id"]: r["n"]
             for r in violations.groupBy("constraint_id").agg(F.count(F.lit(1)).alias("n")).collect()
         }
-        metrics = dict(obs.get)
 
         total = metrics.get("__total", 0) or 0
         vrows = []
+        row_cs = self.spec.row_level()
         for i, cid in enumerate(ids):
             n = metrics.get(f"__viol_{i}") or 0
-            vrows.append(("ALL", cid, int(n), int(total), n == 0))
+            mfr = row_cs[i].max_fail_ratio
+            ok = (n <= mfr * total) if mfr is not None else n == 0
+            vrows.append(("ALL", cid, int(n), int(total), bool(ok)))
         for cid in table_ids:
             n = counts.get(cid, 0)
             vrows.append(("ALL", cid, int(n), None, n == 0))

@@ -20,6 +20,9 @@ column-level constraints over a DataFrame:
   oneOf (multi-root :2198-2218)          AnyOf
   ID uniqueness (:888) + north_star      Unique{cols}
   (north_star extension)                 Drift{chi2|ks}
+  (Deequ-parity extensions)              FunctionalDependency{determinants,
+                                         dependent}; max_fail_ratio
+                                         compliance thresholds
   totalDigits/fractionDigits/whiteSpace  Unsupported (warn + skip, :1472-1492)
 
 NULL semantics: like JSON Schema (where a missing property passes every
@@ -31,7 +34,7 @@ from __future__ import annotations
 
 import json
 import re
-from dataclasses import dataclass, replace
+from dataclasses import dataclass, field, replace
 from typing import Optional, Sequence, Union
 
 Number = Union[int, float]
@@ -44,9 +47,20 @@ class SpecError(ValueError):
 @dataclass(frozen=True)
 class Constraint:
     """Base class. ``id`` is the stable constraint identifier used in
-    verdicts and violation rows (``constraint_id`` key)."""
+    verdicts and violation rows (``constraint_id`` key).
+
+    ``max_fail_ratio`` (row-level constraints only; Deequ-style
+    compliance threshold): when set, the verdict passes iff
+    violation_count <= max_fail_ratio * evaluated_count instead of
+    requiring zero violations — "at most 2% of rows may fail this
+    check". Violation ROWS are still emitted for every failing row
+    (the tolerance is a verdict policy, not a sampling of evidence).
+    Ignored by table-level constraints, whose verdicts count groups,
+    not evaluated rows (kw-only so positional construction of
+    subclasses is unaffected)."""
 
     id: str
+    max_fail_ratio: Optional[float] = field(default=None, kw_only=True)
 
     @property
     def kind(self) -> str:
@@ -301,6 +315,34 @@ class Quantile(Constraint):
 
 
 @dataclass(frozen=True)
+class FunctionalDependency(Constraint):
+    """determinants -> dependent: every determinant group takes at most
+    ONE non-NULL value of the dependent expression (Deequ's
+    hasUniqueValueRatio / FD-profiling analog; the XSD analog is a
+    key/keyref selector pair resolving to a single field). NULL
+    semantics follow the module rule: NULL dependents pass (a group
+    with values {x, NULL} is consistent; {x, y} is not); a NULL
+    determinant is a group like any other. One violation row per
+    inconsistent group, so evidence volume is bounded by the anomaly
+    count, not the table."""
+
+    determinants: Sequence[str] = ()
+    dependent: str = ""
+
+    def __post_init__(self):
+        if not self.determinants:
+            raise SpecError(f"functional_dependency {self.id}: no determinants")
+        if not self.dependent:
+            raise SpecError(f"functional_dependency {self.id}: no dependent")
+        if self.dependent in self.determinants:
+            raise SpecError(
+                f"functional_dependency {self.id}: dependent {self.dependent!r} "
+                "is one of the determinants (vacuously true)"
+            )
+        object.__setattr__(self, "determinants", tuple(self.determinants))
+
+
+@dataclass(frozen=True)
 class Drift(Constraint):
     """Distribution drift vs a baseline snapshot (north_star extension):
     chi-square on categorical mix, two-sample KS on a numeric expr."""
@@ -330,7 +372,7 @@ class Unsupported(Constraint):
 
 
 ROW_LEVEL = (NotNull, Dtype, Range, Length, Pattern, Enum, Constant, AllOf, AnyOf)
-TABLE_LEVEL = (Unique, ForeignKey, Cardinality, Quantile, Drift)
+TABLE_LEVEL = (Unique, ForeignKey, Cardinality, Quantile, Drift, FunctionalDependency)
 
 
 # ---------------------------------------------------------------------------

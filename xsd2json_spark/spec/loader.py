@@ -51,6 +51,7 @@ from xsd2json_spark.spec.constraints import (
     Dtype,
     Enum,
     ForeignKey,
+    FunctionalDependency,
     Length,
     NotNull,
     Pattern,
@@ -67,6 +68,28 @@ UNSUPPORTED_FACETS = {"total_digits", "fraction_digits", "white_space"}
 
 
 def _mk(doc: Mapping, idx: int) -> Constraint:
+    """Constraint factory + the shared ``max_fail_ratio`` compliance
+    option (row-level kinds only; see Constraint.max_fail_ratio)."""
+    from dataclasses import replace
+
+    from xsd2json_spark.spec.constraints import ROW_LEVEL
+
+    c = _mk_inner(doc, idx)
+    mfr = doc.get("max_fail_ratio")
+    if mfr is not None:
+        if not isinstance(c, ROW_LEVEL):
+            raise SpecError(
+                f"constraint {c.id}: max_fail_ratio applies to row-level "
+                f"constraints, not {c.kind}"
+            )
+        mfr = float(mfr)
+        if not (0.0 <= mfr < 1.0):
+            raise SpecError(f"constraint {c.id}: max_fail_ratio {mfr} outside [0, 1)")
+        c = replace(c, max_fail_ratio=mfr)
+    return c
+
+
+def _mk_inner(doc: Mapping, idx: int) -> Constraint:
     kind = doc.get("kind")
     if kind is None:
         raise SpecError(f"constraint #{idx}: missing 'kind'")
@@ -144,6 +167,12 @@ def _mk(doc: Mapping, idx: int) -> Constraint:
             alpha=float(doc.get("alpha", 0.01)),
             expr=doc.get("expr"),
             group_by=doc.get("group_by", ()),
+        )
+    if kind == "functional_dependency":
+        return FunctionalDependency(
+            id=cid,
+            determinants=doc.get("determinants", ()),
+            dependent=doc.get("dependent", ""),
         )
     raise SpecError(f"constraint {cid}: unknown kind {kind!r}")
 
