@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "emb_knn_lsh_pruned",
     "emb_knn_ivf",
     "emb_near_dups",
+    "cv_fd_violations",
 ]
 
 FILES_SPEC = {

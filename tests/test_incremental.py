@@ -409,3 +409,90 @@ def test_all_three_states_together(spark):
     full = vmap(ValidationEngine(spark, spec, dims=dims).run(b).verdicts)
     assert inc == full
     assert inc["pk"][0] > 0 and inc["fk"][0] > 0 and inc["t_len"][0] > 0
+
+
+def test_drift_counts_compose_equals_recompute(spark):
+    """Composed chi2 drift state == from-scratch category counts of the
+    current snapshot, for adds, updates (category flips), and
+    deletes — global and per-group shapes."""
+    from xsd2json_spark.engine.incremental import (
+        compose_drift_counts,
+        drift_category_counts,
+        snapshot_delta,
+    )
+    from xsd2json_spark.spec.constraints import Drift
+
+    a = spark.createDataFrame(
+        [(i, ["py", "go", "js"][i % 3], "s%d" % (i % 4)) for i in range(120)],
+        "doc_id long, lang string, src string",
+    )
+    # B: drop >= 100, flip lang of %7 to 'rs', add new rows incl. a NULL lang
+    b = (
+        a.filter("doc_id < 100")
+        .withColumn("lang", F.when(F.col("doc_id") % 7 == 0, F.lit("rs")).otherwise(F.col("lang")))
+        .unionByName(spark.createDataFrame(
+            [(200, "py", "s0"), (201, None, "s1")], "doc_id long, lang string, src string"))
+    )
+    added, removed = snapshot_delta(a, b, ["doc_id"])
+    for c in (
+        Drift(id="d", column="lang", test="chi2", baseline="base"),
+        Drift(id="dg", column="lang", test="chi2", baseline="base", group_by=["src"]),
+    ):
+        composed = compose_drift_counts(drift_category_counts(a, c), added, removed, c)
+        scratch = drift_category_counts(b, c)
+        key = (lambda r: tuple(r)) 
+        assert sorted(map(tuple, composed.collect())) == sorted(map(tuple, scratch.collect())), c.id
+
+
+def test_incremental_drift_verdicts_match_full_run(spark):
+    """incremental_verdicts with drift_state equals the from-scratch
+    engine verdicts — drifted and undrifted scenarios, global and
+    per-group (incl. the vanished-group failure)."""
+    from xsd2json_spark.engine.drift import (
+        make_categorical_baseline,
+        make_categorical_baseline_by,
+    )
+    from xsd2json_spark.engine.incremental import drift_category_counts
+
+    base_df = spark.createDataFrame(
+        [(i, ["py", "go"][i % 2], "g%d" % (i % 2)) for i in range(400)],
+        "doc_id long, lang string, grp string",
+    )
+    a = spark.createDataFrame(
+        [(i, ["py", "go"][i % 2], "g%d" % (i % 2)) for i in range(300)],
+        "doc_id long, lang string, grp string",
+    )
+    # B drifts hard: most rows become 'py'; group g1 vanishes entirely
+    b = spark.createDataFrame(
+        [(i, "py" if i % 10 else "go", "g0") for i in range(300)],
+        "doc_id long, lang string, grp string",
+    )
+    spec = spec_from_dict({
+        "name": "drift_inc", "key_columns": ["doc_id"], "constraints": [
+            {"kind": "not_null", "id": "nn", "column": "lang"},
+            {"kind": "drift", "id": "dr", "column": "lang", "test": "chi2",
+             "baseline": "base"},
+            {"kind": "drift", "id": "drg", "column": "lang", "test": "chi2",
+             "baseline": "base_by", "group_by": ["grp"]},
+        ]})
+    baselines = {
+        "base": make_categorical_baseline(base_df, "lang"),
+        "base_by": make_categorical_baseline_by(base_df, "lang", ["grp"]),
+    }
+    drift_cs = {c.id: c for c in spec.table_level()}
+    state = {cid: drift_category_counts(a, c) for cid, c in drift_cs.items()
+             if c.kind == "drift"}
+    for cur in (a, b):  # undrifted (B==A shape) and drifted
+        prev = ValidationEngine(spark, spec, baselines=baselines).run(a).verdicts
+        inc = incremental_verdicts(
+            spark, spec, a, cur, prev, drift_state=state, baselines=baselines)
+        full = ValidationEngine(spark, spec, baselines=baselines).run(cur).verdicts
+        imap = {(r["partition_key"], r["constraint_id"]): (r["violation_count"], r["passed"])
+                for r in inc.collect()}
+        fmap = {(r["partition_key"], r["constraint_id"]): (r["violation_count"], r["passed"])
+                for r in full.collect()}
+        assert imap == fmap
+    # drifted run actually fails, incl. per-group rows for g0 (drift)
+    # and g1 (vanished)
+    assert not imap[("ALL", "dr")][1]
+    assert any(k[1] == "drg" and not v[1] for k, v in imap.items())

@@ -103,3 +103,33 @@ def test_driver_query_rows(spark):
     assert got[("source", "pattern")] == "[a-z][a-z0-9_-]*"
     assert ("doc_id", "unique") in got and ("doc_id", "range") in got
     assert ("n_chars", "range") in got
+
+
+def test_suggest_functional_dependencies(spark):
+    """FD discovery: planted dependency found, violated pair skipped,
+    vacuous (key-like) determinants skipped, NULL dependents pass,
+    and every suggested FD passes its own table via the engine."""
+    from xsd2json_spark import spec_from_dict
+    from xsd2json_spark.engine import ValidationEngine
+    from xsd2json_spark.engine.suggest import suggest_functional_dependencies
+
+    rows = []
+    for i in range(120):
+        code = ["US", "DE", "FR"][i % 3]
+        name = {"US": "United States", "DE": "Germany", "FR": None}[code]  # FR: NULLs pass
+        rows.append((i, code, name, "x%d" % (i % 7)))
+    df = spark.createDataFrame(rows, "id long, code string, name string, junk string")
+
+    fds = suggest_functional_dependencies(df, exact=True)
+    got = {(tuple(d["determinants"]), d["dependent"]) for d in fds}
+    assert (("code",), "name") in got          # planted FD holds
+    assert (("junk",), "code") not in got      # 7 junk values x 3 codes: violated
+    assert not any(d == ("id",) for d, _ in got)  # key determinant: vacuous, skipped
+    # name -> code also holds on non-null names (US/DE unique names)
+    assert (("name",), "code") in got
+
+    # acceptance: the suggested FDs run green through the engine
+    spec = spec_from_dict({"name": "fds", "key_columns": ["id"], "constraints": fds})
+    res = ValidationEngine(spark, spec).run(df)
+    assert all(r["passed"] for r in res.verdicts.collect())
+    res.unpersist()

@@ -19,9 +19,13 @@ What is and is not incrementally composable:
   dtype, constant, allOf/anyOf): exact composition via the formula
   above — the expensive per-row work (regex + casts over content)
   runs only on the delta.
-- TABLE-LEVEL quantile + drift: NOT locally composable (order
-  statistics and distribution distances don't subtract). Recomputed on
-  the current snapshot; both are sketch-sized aggregates.
+- TABLE-LEVEL quantile + KS drift: NOT locally composable (order
+  statistics don't subtract). Recomputed on the current snapshot; both
+  are sketch-sized aggregates. CHI2 drift IS composable — its input is
+  just per-category counts, which compose like any other count
+  (``drift_category_counts`` / ``compose_drift_counts`` /
+  ``drift_verdict_rows_from_counts``; pass ``drift_state=`` +
+  ``baselines=`` to ``incremental_verdicts``).
 - UNIQUENESS, FOREIGN-KEY and CARDINALITY — the key-shuffle trio —
   ARE composable, all through the same materialized keyed count table
   (the streaming ``stream_unique_violations`` state, batch form):
@@ -59,7 +63,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from xsd2json_spark.engine.validate import VERDICT_COLUMNS, ValidationEngine
-from xsd2json_spark.spec.constraints import Cardinality, ForeignKey, Spec, Unique
+from xsd2json_spark.spec.constraints import Cardinality, Drift, ForeignKey, Spec, Unique
 
 
 def snapshot_delta(
@@ -286,6 +290,107 @@ def cardinality_violations_from_counts(counts: DataFrame, c: Cardinality) -> Dat
     )
 
 
+def drift_category_counts(df: DataFrame, c: Drift) -> DataFrame:
+    """The materialized drift state for a chi2 (categorical) Drift
+    constraint: one (group_by..., __cat, n) row per observed category
+    (NULLs excluded, matching chi2_drift). Category-cardinality-sized,
+    so persisting it next to the snapshot costs ~nothing; the NEXT
+    snapshot's drift verdict composes this state with the delta and
+    never rescans the table (``compose_drift_counts`` /
+    ``drift_verdict_rows_from_counts``)."""
+    from xsd2json_spark.engine.drift import _value_col
+
+    if c.test != "chi2":
+        raise ValueError(
+            f"drift {c.id}: only chi2 (categorical counts) drift is "
+            "state-composable; KS needs the value distribution (ECDF at a "
+            "grid), and order statistics don't subtract"
+        )
+    gb = list(c.group_by)
+    return (
+        df.select(*gb, _value_col(c).alias("__cat"))
+        .filter(F.col("__cat").isNotNull())
+        .groupBy(*gb, "__cat")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def compose_drift_counts(
+    prev_counts: DataFrame, added: DataFrame, removed: DataFrame, c: Drift
+) -> DataFrame:
+    """Next snapshot's drift state from the previous one plus the keyed
+    delta — the same +added -removed identity as ``compose_key_counts``
+    applied to category counts (the delta rows evaluate the
+    constraint's value EXPRESSION, so expr-based drift composes too)."""
+    from xsd2json_spark.engine.drift import _value_col
+
+    gb = list(c.group_by)
+
+    def _delta(df: DataFrame, sign: int) -> DataFrame:
+        return (
+            df.select(*gb, _value_col(c).alias("__cat"))
+            .filter(F.col("__cat").isNotNull())
+            .groupBy(*gb, "__cat")
+            .agg((F.count(F.lit(1)) * sign).alias("__d"))
+        )
+
+    u = (
+        prev_counts.select(*gb, "__cat", F.col("n").alias("__d"))
+        .unionByName(_delta(added, 1))
+        .unionByName(_delta(removed, -1))
+    )
+    return (
+        u.groupBy(*gb, "__cat")
+        .agg(F.sum("__d").cast("long").alias("n"))
+        .filter(F.col("n") > 0)
+    )
+
+
+def drift_verdict_rows_from_counts(c: Drift, counts: DataFrame, baselines: dict) -> "list[tuple]":
+    """chi2 drift verdict rows from a composed category-count state —
+    identical pass/fail to ``engine.drift.drift_verdict`` on the full
+    snapshot (the observed counts are equal by the exact composition;
+    the statistic and p-value use the same chi2_stat / chi2_sf). The
+    collect is category-cardinality-sized (bounded by the baseline's
+    vocabulary), never the table."""
+    from xsd2json_spark.engine.drift import group_key
+    from xsd2json_spark.engine.stats_math import chi2_sf, chi2_stat
+
+    baseline = baselines.get(c.baseline)
+    if baseline is None:
+        raise KeyError(f"drift {c.id}: baseline snapshot {c.baseline!r} not provided")
+    gb = list(c.group_by)
+    rows = counts.collect()
+    if not gb:
+        b_counts = baseline["counts"]
+        total = sum(b_counts.values())
+        probs = {k: v / total for k, v in b_counts.items()}
+        observed = {str(r["__cat"]): r["n"] for r in rows}
+        stat, dof = chi2_stat(observed, probs)
+        passed = chi2_sf(stat, dof) >= c.alpha
+        return [("ALL", c.id, 0 if passed else 1, None, passed)]
+    # per-group: mirror chi2_drift_by row for row — unseen groups (in
+    # data, not baseline) and vanished groups (baseline, not data) both
+    # fail with p = 0 instead of silently emitting no verdict
+    out = []
+    per_group: dict = {}
+    for r in rows:
+        per_group.setdefault(group_key([r[g] for g in gb]), {})[str(r["__cat"])] = r["n"]
+    for gkey, observed in sorted(per_group.items()):
+        base_counts = baseline["groups"].get(gkey)
+        if not base_counts:
+            out.append((gkey, c.id, 1, None, False))  # unseen group = drift
+            continue
+        total = sum(base_counts.values())
+        probs = {k: v / total for k, v in base_counts.items()}
+        stat, dof = chi2_stat(observed, probs)
+        passed = chi2_sf(stat, dof) >= c.alpha
+        out.append((gkey, c.id, 0 if passed else 1, None, passed))
+    for gkey in sorted(set(baseline["groups"]) - set(per_group)):
+        out.append((gkey, c.id, 1, None, False))  # vanished group = drift
+    return out
+
+
 def incremental_verdicts(
     spark: SparkSession,
     spec: Spec,
@@ -297,6 +402,8 @@ def incremental_verdicts(
     unique_state=None,
     fk_state=None,
     cardinality_state=None,
+    drift_state=None,
+    baselines=None,
 ) -> DataFrame:
     """Full verdict table for cur_df, touching only the delta for the
     row-level (content-scanning) constraints and recomputing the
@@ -314,19 +421,31 @@ def incremental_verdicts(
     and the sketch-sized quantile/drift checks. FK additionally reads
     the CURRENT dim at verdict time (``fk_dangling_counts``), so dim
     changes need no state rebuild. Maintain each state for the next
-    snapshot with the same compose call."""
+    snapshot with the same compose call.
+
+    drift_state: optional {constraint_id: (group..., __cat, n)
+    DataFrame} — the previous snapshot's ``drift_category_counts`` per
+    chi2 Drift constraint, composed over the delta
+    (``compose_drift_counts``) so the drift verdict also skips the
+    current-snapshot scan; requires ``baselines`` (the same dict
+    ``ValidationEngine`` takes). KS drift stays a recompute (order
+    statistics don't subtract)."""
     kwargs = {}
     if config is not None:
         kwargs["config"] = config
     # watched_columns stripped: the stats sketch over a delta is not a
     # snapshot sketch (min/max/distinct don't subtract) — sketches stay
     # a full-run product
-    engine = ValidationEngine(spark, replace(spec, watched_columns=()), dims=dims or {}, **kwargs)
+    engine = ValidationEngine(
+        spark, replace(spec, watched_columns=()), dims=dims or {},
+        baselines=baselines or {}, **kwargs,
+    )
     added, removed = snapshot_delta(prev_df, cur_df, spec.key_columns)
     verdicts = incremental_row_verdicts(engine, added, removed, prev_verdicts)
     unique_state = unique_state or {}
     fk_state = fk_state or {}
     cardinality_state = cardinality_state or {}
+    drift_state = drift_state or {}
 
     def _verdict_row(cid, n_col):
         return n_col.select(
@@ -362,6 +481,18 @@ def incremental_verdicts(
             n = cardinality_violations_from_counts(counts, c).agg(
                 F.count(F.lit(1)).alias("__n")
             )
+        elif isinstance(c, Drift) and c.id in drift_state:
+            counts = compose_drift_counts(drift_state[c.id], added, removed, c)
+            rows = drift_verdict_rows_from_counts(c, counts, baselines or {})
+            composed.append(c)
+            verdicts = verdicts.unionByName(
+                spark.createDataFrame(
+                    rows,
+                    schema="partition_key string, constraint_id string, "
+                    "violation_count long, evaluated_count long, passed boolean",
+                ).select(*VERDICT_COLUMNS)
+            )
+            continue
         else:
             continue
         composed.append(c)
@@ -369,7 +500,9 @@ def incremental_verdicts(
     table_cs = [c for c in spec.table_level() if c not in composed]
     if table_cs:
         table_spec = replace(spec, constraints=tuple(table_cs), watched_columns=())
-        tbl_engine = ValidationEngine(spark, table_spec, dims=dims or {}, **kwargs)
+        tbl_engine = ValidationEngine(
+            spark, table_spec, dims=dims or {}, baselines=baselines or {}, **kwargs
+        )
         res = tbl_engine.run(cur_df)
         tv = res.verdicts.filter(
             F.col("constraint_id").isin([c.id for c in table_cs])

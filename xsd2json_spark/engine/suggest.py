@@ -175,6 +175,65 @@ def suggest_constraints(
     return out
 
 
+def suggest_functional_dependencies(
+    df: DataFrame,
+    candidates: "list[str] | None" = None,
+    max_determinant_distinct: int = 10_000,
+    exact: bool = False,
+) -> "list[dict]":
+    """Discover column-level functional dependencies a -> b that HOLD
+    on the profiled data and emit them as ``functional_dependency``
+    constraint dicts (the FD sibling of suggest_constraints; prior
+    art: Deequ's profiler, metanome-style FD discovery bounded to
+    single-column determinants).
+
+    Plan shape: the profile bounds the determinant side first —
+    columns whose distinct count exceeds ``max_determinant_distinct``
+    are skipped (a near-key determinant makes the FD vacuous AND its
+    groupBy state huge). Then ONE groupBy per surviving determinant
+    evaluates every other column in the same pass:
+    groupBy(a).agg(count_distinct(b1), count_distinct(b2), ...) -> a
+    determinant-cardinality-sized frame, reduced with max() per b.
+    a -> b holds iff max over groups of distinct non-NULL b values is
+    <= 1 (NULL dependents pass, matching
+    ``ValidationEngine.fd_violations``). Vacuous FDs are dropped:
+    a determinant with one row per group proves nothing, so columns
+    whose group count equals the non-null row count are skipped."""
+    cols = candidates or [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, (StringType, ByteType, ShortType,
+                                   IntegerType, LongType))
+    ]
+    if len(cols) < 2:
+        return []
+    prof = profile_columns(df, cols, exact=exact)
+    out: list[dict] = []
+    for a in cols:
+        s = prof[a]
+        n_nonnull = s["n"] - s["n_null"]
+        if not (0 < s["n_distinct"] <= max_determinant_distinct):
+            continue
+        if s["n_distinct"] >= n_nonnull:  # every group single-row: vacuous
+            continue
+        others = [b for b in cols if b != a]
+        maxes = (
+            df.filter(F.col(a).isNotNull())
+            .groupBy(a)
+            .agg(*[F.count_distinct(F.col(b)).alias(b) for b in others])
+            .agg(*[F.max(F.col(b)).alias(b) for b in others])
+            .collect()[0]
+        )
+        for b in others:
+            if (maxes[b] or 0) <= 1:
+                out.append({
+                    "kind": "functional_dependency",
+                    "id": f"suggest_fd_{a}_{b}",
+                    "determinants": [a],
+                    "dependent": b,
+                })
+    return out
+
+
 def suggest_spec(
     df: DataFrame,
     name: str,
