@@ -496,3 +496,43 @@ def test_incremental_drift_verdicts_match_full_run(spark):
     # and g1 (vanished)
     assert not imap[("ALL", "dr")][1]
     assert any(k[1] == "drg" and not v[1] for k, v in imap.items())
+
+
+def test_incremental_ks_drift_matches_full_run(spark):
+    """KS drift from a composed bin state == the full-scan ks_drift
+    verdict (identical statistic: both read the ECDF only at the
+    baseline's quantile grid), for drifted and undrifted snapshots
+    with adds, updates, and deletes."""
+    from xsd2json_spark.engine.drift import make_numeric_baseline
+    from xsd2json_spark.engine.incremental import drift_value_bins
+
+    base_df = spark.createDataFrame(
+        [(i, float(i % 100)) for i in range(500)], "doc_id long, x double"
+    )
+    a = spark.createDataFrame(
+        [(i, float((i * 7) % 100)) for i in range(400)], "doc_id long, x double"
+    )
+    # B: delete a tail, shift a stripe of values upward (drift), add rows
+    b = (
+        a.filter("doc_id < 350")
+        .withColumn("x", F.when(F.col("doc_id") % 2 == 0, F.col("x") + 400.0).otherwise(F.col("x")))
+        .unionByName(spark.createDataFrame(
+            [(900 + i, 480.0 + i) for i in range(30)], "doc_id long, x double"))
+    )
+    spec = spec_from_dict({
+        "name": "ks_inc", "key_columns": ["doc_id"], "constraints": [
+            {"kind": "not_null", "id": "nn", "column": "x"},
+            {"kind": "drift", "id": "ks", "column": "x", "test": "ks",
+             "baseline": "base"},
+        ]})
+    baselines = {"base": make_numeric_baseline(base_df, "x")}
+    ks_c = next(c for c in spec.table_level() if c.kind == "drift")
+    state = {"ks": drift_value_bins(a, ks_c, baselines)}
+    for cur in (a, b):
+        prev = ValidationEngine(spark, spec, baselines=baselines).run(a).verdicts
+        inc = incremental_verdicts(
+            spark, spec, a, cur, prev, drift_state=state, baselines=baselines)
+        full = ValidationEngine(spark, spec, baselines=baselines).run(cur).verdicts
+        imap = vmap(inc)
+        assert imap == vmap(full)
+    assert not imap["ks"][1]  # the shifted snapshot drifts

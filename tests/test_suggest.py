@@ -133,3 +133,34 @@ def test_suggest_functional_dependencies(spark):
     res = ValidationEngine(spark, spec).run(df)
     assert all(r["passed"] for r in res.verdicts.collect())
     res.unpersist()
+
+
+def test_suggest_tolerant_not_null(spark):
+    """An almost-complete column gets a max_fail_ratio'd not_null at
+    headroom x observed rate (Deequ hasCompleteness analog); a fully
+    complete column keeps the strict form; a very-null column gets
+    neither; and the suggested spec still passes on its own table."""
+    from xsd2json_spark import spec_from_dict
+    from xsd2json_spark.engine import ValidationEngine
+    from xsd2json_spark.engine.suggest import suggest_constraints
+
+    rows = [(i,
+             "full%d" % i,
+             None if i == 0 else "mostly%d" % i,     # 1% null
+             None if i % 3 == 0 else "often%d" % i)  # 34% null
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, full string, mostly string, often string")
+    cons = {c["id"]: c for c in suggest_constraints(df, exact=True)}
+    assert "suggest_full_not_null" in cons
+    assert "max_fail_ratio" not in cons["suggest_full_not_null"]
+    tol = cons["suggest_mostly_mostly_not_null"]
+    assert tol["kind"] == "not_null" and tol["max_fail_ratio"] == 0.02  # 2 x 1%
+    assert not any(c.get("column") == "often" and c["kind"] == "not_null" for c in cons.values())
+    # disabling the rule drops the tolerant suggestion
+    off = suggest_constraints(df, exact=True, tolerance_null_rate=0)
+    assert not any(c["id"] == "suggest_mostly_mostly_not_null" for c in off)
+    # acceptance
+    spec = spec_from_dict({"name": "s", "key_columns": ["id"], "constraints": list(cons.values())})
+    res = ValidationEngine(spark, spec).run(df)
+    assert all(r["passed"] for r in res.verdicts.collect())
+    res.unpersist()

@@ -19,13 +19,18 @@ What is and is not incrementally composable:
   dtype, constant, allOf/anyOf): exact composition via the formula
   above — the expensive per-row work (regex + casts over content)
   runs only on the delta.
-- TABLE-LEVEL quantile + KS drift: NOT locally composable (order
-  statistics don't subtract). Recomputed on the current snapshot; both
-  are sketch-sized aggregates. CHI2 drift IS composable — its input is
-  just per-category counts, which compose like any other count
+- TABLE-LEVEL quantile: NOT locally composable (order statistics
+  don't subtract; t-digests merge but can't retract deletes).
+  Recomputed on the current snapshot — a sketch-sized aggregate.
+- DRIFT is composable in BOTH flavors, because the verdicts only ever
+  read counts: chi2 reads per-category counts
   (``drift_category_counts`` / ``compose_drift_counts`` /
-  ``drift_verdict_rows_from_counts``; pass ``drift_state=`` +
-  ``baselines=`` to ``incremental_verdicts``).
+  ``drift_verdict_rows_from_counts``), and KS only reads the ECDF at
+  the BASELINE's fixed quantile grid, which is a cumulative sum of
+  per-bin counts against that grid (``drift_value_bins`` /
+  ``compose_drift_bins`` / ``ks_verdict_rows_from_bins`` — identical
+  statistic to the full-scan ks_drift, not an approximation). Pass
+  ``drift_state=`` + ``baselines=`` to ``incremental_verdicts``.
 - UNIQUENESS, FOREIGN-KEY and CARDINALITY — the key-shuffle trio —
   ARE composable, all through the same materialized keyed count table
   (the streaming ``stream_unique_violations`` state, batch form):
@@ -346,6 +351,103 @@ def compose_drift_counts(
     )
 
 
+def _bin_expr(v, grid) -> "F.Column":
+    """In-plan bin index against the baseline's quantile grid: the
+    number of grid edges STRICTLY BELOW the value ``v`` (a Column), so
+    rows with v <= grid[i] are exactly the rows with bin <= i — the
+    same boundary semantics as ks_drift's avg(v <= q) probes."""
+    edges = F.array(*[F.lit(float(q)) for q in grid])
+    return F.size(F.filter(edges, lambda e: e < v))
+
+
+def drift_value_bins(df: DataFrame, c: Drift, baselines: dict) -> DataFrame:
+    """The materialized KS drift state: one (__bin, n) row per occupied
+    bin of the BASELINE's quantile grid (NULLs dropped). The grid has
+    ~50 edges, so the state is ~51 rows — and binned counts compose
+    over the delta like any other count, which makes KS drift
+    incrementally maintainable WITHOUT approximation: ks_drift's
+    statistic only ever reads the ECDF at the baseline grid points,
+    and those are exact cumulative sums of these bins."""
+    if c.test != "ks":
+        raise ValueError(f"drift {c.id}: drift_value_bins is the KS (numeric) state")
+    baseline = baselines.get(c.baseline)
+    if baseline is None:
+        raise KeyError(f"drift {c.id}: baseline snapshot {c.baseline!r} not provided")
+    from xsd2json_spark.engine.drift import _value_col
+
+    v = _value_col(c).cast("double")
+    return (
+        df.select(v.alias("__v"))
+        .na.drop()
+        .select(_bin_expr(F.col("__v"), baseline["grid"]).alias("__bin"))
+        .groupBy("__bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def compose_drift_bins(
+    prev_bins: DataFrame, added: DataFrame, removed: DataFrame, c: Drift, baselines: dict
+) -> DataFrame:
+    """Next snapshot's KS bin state from the previous one plus the
+    keyed delta (+added -removed, same identity as every other
+    state)."""
+    baseline = baselines.get(c.baseline)
+    if baseline is None:
+        raise KeyError(f"drift {c.id}: baseline snapshot {c.baseline!r} not provided")
+    from xsd2json_spark.engine.drift import _value_col
+
+    grid = baseline["grid"]
+
+    def _delta(df: DataFrame, sign: int) -> DataFrame:
+        v = _value_col(c).cast("double")
+        return (
+            df.select(v.alias("__v"))
+            .na.drop()
+            .select(_bin_expr(F.col("__v"), grid).alias("__bin"))
+            .groupBy("__bin")
+            .agg((F.count(F.lit(1)) * sign).alias("__d"))
+        )
+
+    u = (
+        prev_bins.select("__bin", F.col("n").alias("__d"))
+        .unionByName(_delta(added, 1))
+        .unionByName(_delta(removed, -1))
+    )
+    return (
+        u.groupBy("__bin")
+        .agg(F.sum("__d").cast("long").alias("n"))
+        .filter(F.col("n") > 0)
+    )
+
+
+def ks_verdict_rows_from_bins(c: Drift, bins: DataFrame, baselines: dict) -> "list[tuple]":
+    """KS drift verdict row from a composed bin state — IDENTICAL
+    statistic and p-value to ``engine.drift.ks_drift`` on the full
+    snapshot: ECDF at baseline grid point i = (rows with bin <= i) / n,
+    exactly the avg(v <= grid[i]) the full scan computes. The collect
+    is grid-sized (~51 rows)."""
+    from xsd2json_spark.engine.stats_math import ks_pvalue
+    from xsd2json_spark.spec.constraints import SpecError
+
+    baseline = baselines.get(c.baseline)
+    if baseline is None:
+        raise KeyError(f"drift {c.id}: baseline snapshot {c.baseline!r} not provided")
+    if c.group_by:
+        raise ValueError(f"drift {c.id}: per-group KS state not supported (use recompute)")
+    grid, base_ecdf, n_base = baseline["grid"], baseline["ecdf"], baseline["n"]
+    per_bin = {r["__bin"]: r["n"] for r in bins.collect()}
+    n_cur = sum(per_bin.values())
+    if n_cur == 0:
+        raise SpecError(f"drift {c.id}: no current values")
+    cum = 0
+    d = 0.0
+    for i in range(len(grid)):
+        cum += per_bin.get(i, 0)
+        d = max(d, abs(cum / n_cur - base_ecdf[i]))
+    passed = ks_pvalue(d, n_base, n_cur) >= c.alpha
+    return [("ALL", c.id, 0 if passed else 1, None, passed)]
+
+
 def drift_verdict_rows_from_counts(c: Drift, counts: DataFrame, baselines: dict) -> "list[tuple]":
     """chi2 drift verdict rows from a composed category-count state —
     identical pass/fail to ``engine.drift.drift_verdict`` on the full
@@ -482,8 +584,14 @@ def incremental_verdicts(
                 F.count(F.lit(1)).alias("__n")
             )
         elif isinstance(c, Drift) and c.id in drift_state:
-            counts = compose_drift_counts(drift_state[c.id], added, removed, c)
-            rows = drift_verdict_rows_from_counts(c, counts, baselines or {})
+            if c.test == "ks":
+                bins = compose_drift_bins(
+                    drift_state[c.id], added, removed, c, baselines or {}
+                )
+                rows = ks_verdict_rows_from_bins(c, bins, baselines or {})
+            else:
+                counts = compose_drift_counts(drift_state[c.id], added, removed, c)
+                rows = drift_verdict_rows_from_counts(c, counts, baselines or {})
             composed.append(c)
             verdicts = verdicts.unionByName(
                 spark.createDataFrame(

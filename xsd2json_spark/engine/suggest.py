@@ -117,11 +117,19 @@ def suggest_constraints(
     columns: "list[str] | None" = None,
     max_enum: int = 24,
     exact: bool = False,
+    tolerance_null_rate: float = 0.02,
+    tolerance_headroom: float = 2.0,
 ) -> "list[dict]":
     """Profile + derive suggestions. Returns constraint dicts (each
     ``spec_from_dict``-loadable) ordered (column, kind). Rules:
 
     - ``n_null == 0``            -> not_null
+    - ``0 < null rate <= tolerance_null_rate`` -> not_null with
+      ``max_fail_ratio = headroom * observed rate`` (Deequ's
+      "hasCompleteness >= x" analog: an ALMOST-complete column is
+      worth monitoring at its observed rate plus headroom, rather
+      than left unchecked; headroom keeps normal fluctuation from
+      paging anyone). Disabled with ``tolerance_null_rate=0``.
     - 1 distinct non-null value  -> constant (value from the enum pass)
     - 2..max_enum distinct       -> enum (observed value set)
     - numeric                    -> range [observed min, observed max]
@@ -153,6 +161,16 @@ def suggest_constraints(
         n_val = s["n"] - s["n_null"]
         if s["n"] > 0 and s["n_null"] == 0:
             out.append({"kind": "not_null", "id": f"suggest_{c}_not_null", "column": c})
+        elif (
+            s["n"] > 0
+            and tolerance_null_rate > 0
+            and 0 < s["n_null"] / s["n"] <= tolerance_null_rate
+        ):
+            mfr = min(0.999, tolerance_headroom * s["n_null"] / s["n"])
+            out.append({
+                "kind": "not_null", "id": f"suggest_{c}_mostly_not_null",
+                "column": c, "max_fail_ratio": round(mfr, 6),
+            })
         if c in values and len(values[c]) == 1:
             out.append({"kind": "constant", "id": f"suggest_{c}_constant",
                         "column": c, "value": values[c][0]})
