@@ -778,7 +778,7 @@ def _ks_baseline(sf_dir: str):
     probs = [i / (KS_GRID_POINTS + 1) for i in range(1, KS_GRID_POINTS + 1)]
     grid = [float(x) for x in np.quantile(v, probs)]
     ecdf = [float((v <= q).mean()) for q in grid]
-    return grid, ecdf
+    return grid, ecdf, int(len(v))
 
 
 def q_cv_drift_ks_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -790,7 +790,7 @@ def q_cv_drift_ks_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     scipy-pinned) — see q_cv_drift_chi2 for the verdict path."""
     from xsd2json_spark.engine.drift import ks_statistic_df
 
-    grid, ecdf = _ks_baseline(sf_dir)
+    grid, ecdf, _n = _ks_baseline(sf_dir)
     docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
     cur = docs.select(F.lit("self").alias("scenario"), "n_chars").unionAll(
         docs.select(F.lit("shift_plus40").alias("scenario"), (F.col("n_chars") + 40).alias("n_chars"))
@@ -798,6 +798,30 @@ def q_cv_drift_ks_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ks_statistic_df(cur, "n_chars", grid, ecdf, by=["scenario"])
     return out.select(
         "scenario", F.round("d_statistic", 6).alias("d_statistic"), "n_cur"
+    )
+
+
+def q_cv_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked end-to-end KS drift VERDICT fully in-plan (new
+    round 5 — completes the in-plan verdict pair started by
+    cv_drift_chi2): D from the one-aggregation grid ECDF, pass/fail as
+    D <= ks_crit_lambda(alpha) / (sqrt(ne) + 0.12 + 0.11/sqrt(ne))
+    where the alpha part is ONE driver-side constant and ne is a pure
+    expression of the per-scenario count — no p-value conversion
+    anywhere. DuckDB replays the whole rule including the critical
+    constant as a literal. Scenarios: self (D ~ 0, passes) and a
+    +40-char shift (fails)."""
+    from xsd2json_spark.engine.drift import ks_drift_verdicts_df
+
+    grid, ecdf, n_base = _ks_baseline(sf_dir)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+    cur = docs.select(F.lit("self").alias("scenario"), "n_chars").unionAll(
+        docs.select(F.lit("shift_plus40").alias("scenario"), (F.col("n_chars") + 40).alias("n_chars"))
+    )
+    baseline = {"grid": grid, "ecdf": ecdf, "n": n_base}
+    out = ks_drift_verdicts_df(cur, "n_chars", baseline, by=["scenario"], alpha=0.01)
+    return out.select(
+        "scenario", F.round("d_statistic", 6).alias("d_statistic"), "n_cur", "passed"
     )
 
 
@@ -809,7 +833,7 @@ def q_cv_drift_ks_by_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group}; p-values stay driver-side (scipy-pinned)."""
     from xsd2json_spark.engine.drift import ks_statistic_df
 
-    grid, ecdf = _ks_baseline(sf_dir)
+    grid, ecdf, _n = _ks_baseline(sf_dir)
     docs = _t(spark, sf_dir, "documents").filter(
         F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
     )
@@ -1559,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_frames_mjpg": q_media_video_frames_mjpg,
         "cv_fd_violations": q_cv_fd_violations,
         "cv_ratio_verdicts": q_cv_ratio_verdicts,
+        "cv_drift_ks": q_cv_drift_ks,
         # Oracle-able but redundant witnesses (spilled by the 50-row
         # cap; replayable any time via tools/check_oracle.py):
         # cv_drift_ks_by_stat / cv_drift_chi2_by_stat run the same
@@ -2064,7 +2089,7 @@ def _ks_stat_oracle() -> str:
     baseline grid + ECDF embed as literals; each ECDF term is an avg of
     0/1 indicators (exact integer sums -> bit-identical across
     engines); D = greatest of the absolute differences."""
-    grid, ecdf = _ks_baseline("/root/testdata/sf0.01")
+    grid, ecdf, _n = _ks_baseline("/root/testdata/sf0.01")
     terms = ", ".join(
         f"abs(avg(CASE WHEN v <= {q!r} THEN 1.0 ELSE 0.0 END) - CAST({e!r} AS DOUBLE))"
         for q, e in zip(grid, ecdf)
@@ -2083,10 +2108,47 @@ def _ks_stat_oracle() -> str:
     """
 
 
+def _ks_verdict_oracle() -> str:
+    """DuckDB replay of the in-plan KS VERDICT: same literal grid/ECDF
+    as _ks_stat_oracle, plus the pass rule with ks_crit_lambda(0.01)
+    and the baseline n embedded as literals — the comparison runs on
+    the UNROUNDED statistic exactly as the Spark plan does."""
+    from xsd2json_spark.engine.stats_math import ks_crit_lambda
+
+    grid, ecdf, n_base = _ks_baseline("/root/testdata/sf0.01")
+    lam = ks_crit_lambda(0.01)
+    terms = ", ".join(
+        f"abs(avg(CASE WHEN v <= {q!r} THEN 1.0 ELSE 0.0 END) - CAST({e!r} AS DOUBLE))"
+        for q, e in zip(grid, ecdf)
+    )
+    return f"""
+        WITH cur AS (
+            SELECT 'self' AS scenario, CAST(n_chars AS DOUBLE) AS v
+            FROM documents WHERE n_chars IS NOT NULL
+            UNION ALL
+            SELECT 'shift_plus40', CAST(n_chars + 40 AS DOUBLE)
+            FROM documents WHERE n_chars IS NOT NULL
+        ),
+        s AS (
+            SELECT scenario, greatest({terms}) AS d, count(*) AS n_cur
+            FROM cur GROUP BY scenario
+        ),
+        e AS (
+            SELECT scenario, d, n_cur,
+                   (CAST({n_base} AS DOUBLE) * n_cur) / ({n_base} + n_cur) AS ne
+            FROM s
+        )
+        SELECT scenario, round(d, 6) AS d_statistic,
+               CAST(n_cur AS BIGINT) AS n_cur,
+               d <= CAST({lam!r} AS DOUBLE) / (sqrt(ne) + 0.12 + 0.11 / sqrt(ne)) AS passed
+        FROM e
+    """
+
+
 def _ks_by_stat_oracle() -> str:
     """Per-group DuckDB replay of the KS D statistic (same literal
     grid/ECDF as _ks_stat_oracle, grouped by lang)."""
-    grid, ecdf = _ks_baseline("/root/testdata/sf0.01")
+    grid, ecdf, _n = _ks_baseline("/root/testdata/sf0.01")
     terms = ", ".join(
         f"abs(avg(CASE WHEN v <= {q!r} THEN 1.0 ELSE 0.0 END) - CAST({e!r} AS DOUBLE))"
         for q, e in zip(grid, ecdf)
@@ -2282,6 +2344,7 @@ def oracle_sql() -> dict[str, str]:
             FROM j GROUP BY lang
         """,
         "cv_drift_ks_stat": _ks_stat_oracle(),
+        "cv_drift_ks": _ks_verdict_oracle(),
         "cv_drift_ks_by_stat": _ks_by_stat_oracle(),
         "doc_packing": _packing_oracle(),
         "doc_contamination": _contamination_oracle(),

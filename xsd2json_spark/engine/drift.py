@@ -235,6 +235,30 @@ def ks_statistic_df(
     return agg.select(*gb, d.alias("d_statistic"), F.col("n_cur").cast("long").alias("n_cur"))
 
 
+def ks_drift_verdicts_df(
+    df: DataFrame, expr: str, baseline: dict, by=None, alpha: float = 0.01
+) -> DataFrame:
+    """Grid-ECDF KS drift VERDICTS fully in-plan — the KS sibling of
+    drift_verdicts_over_counts' chi2 rule: D from ks_statistic_df's
+    one-aggregation ECDF evaluation, and pass/fail as
+    D <= ks_crit_lambda(alpha) / (sqrt(ne) + 0.12 + 0.11/sqrt(ne)),
+    ne = n_base*n_cur/(n_base+n_cur) — the alpha-dependent part is one
+    driver-side CONSTANT (``stats_math.ks_crit_lambda``), the sample-
+    size part a pure expression of the per-group n, so the verdict
+    needs no driver-side p-value conversion and replays in plain SQL
+    (the rule is equivalent to ks_pvalue(D) >= alpha by monotonicity
+    of the Kolmogorov series). Returns
+    (by..., d_statistic, n_cur, passed)."""
+    from xsd2json_spark.engine.stats_math import ks_crit_lambda
+
+    lam = ks_crit_lambda(alpha)
+    n_base = int(baseline["n"])
+    stat = ks_statistic_df(df, expr, baseline["grid"], baseline["ecdf"], by=by)
+    ne = (F.lit(float(n_base)) * F.col("n_cur")) / (F.lit(float(n_base)) + F.col("n_cur"))
+    d_crit = F.lit(lam) / (F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne))
+    return stat.withColumn("passed", F.col("d_statistic") <= d_crit)
+
+
 def make_categorical_baseline_df(df: DataFrame, column: str, group_by=()) -> DataFrame:
     """Baseline counts as a DATAFRAME (no driver collect): one row per
     (group..., category). The distributed sibling of

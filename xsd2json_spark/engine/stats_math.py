@@ -132,3 +132,34 @@ def ks_pvalue(d: float, n1: float, n2: float) -> float:
         if abs(term) < 1e-12:
             break
     return min(max(total, 0.0), 1.0)
+
+
+def ks_crit_lambda(alpha: float) -> float:
+    """Critical lambda with Q_KS(lambda) = alpha, by bisection on the
+    Kolmogorov series (the same series ks_pvalue sums). Since
+    ks_pvalue(d, n1, n2) = Q_KS(lam(d)) with
+    lam(d) = (sqrt(ne) + 0.12 + 0.11/sqrt(ne)) * d monotone in d, the
+    pass rule p >= alpha becomes d <= ks_crit_lambda(alpha) /
+    (sqrt(ne) + 0.12 + 0.11/sqrt(ne)) — an alpha-only CONSTANT over a
+    pure expression of the sample sizes, so the KS verdict evaluates
+    in-plan like the chi2 one (chi2_crit)."""
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("ks_crit_lambda: alpha must be in (0, 1)")
+
+    def q(lam: float) -> float:
+        total = 0.0
+        for j in range(1, 101):
+            term = 2.0 * ((-1.0) ** (j - 1)) * math.exp(-2.0 * j * j * lam * lam)
+            total += term
+            if abs(term) < 1e-12:
+                break
+        return min(max(total, 0.0), 1.0)
+
+    lo, hi = 1e-6, 5.0
+    for _ in range(200):
+        mid = (lo + hi) / 2.0
+        if q(mid) > alpha:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0

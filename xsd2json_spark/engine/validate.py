@@ -465,20 +465,29 @@ class ValidationEngine:
     def fd_violations(self, df: DataFrame, c: FunctionalDependency) -> DataFrame:
         """determinants -> dependent violations: one row per determinant
         group holding more than one distinct non-NULL dependent value.
-        ONE shuffle keyed on the determinants; Catalyst's distinct-agg
-        rewrite partial-deduplicates (determinants, dependent) pairs
-        map-side before it, so a hot determinant ships at most
-        |distinct dependents| rows per map task, not its row count.
-        Evidence detail carries the value count plus the lexicographic
-        min/max 64-char prefixes of the conflicting values (prefix
-        min/max for the same agg-buffer reason as the stats sketch) —
+        Plan: distinct (determinants, dependent) pairs FIRST (a hash
+        aggregate with map-side combine — a hot determinant ships at
+        most |distinct dependents| rows per map task, not its row
+        count), then a pair-cardinality-sized groupBy on the
+        determinants counts values and takes the evidence min/max.
+        Measured marginally faster than the single count_distinct agg
+        (no Expand, and the evidence SortAggregate runs over deduped
+        pairs instead of every row) with identical output. Evidence
+        detail carries the value count plus the lexicographic min/max
+        64-char prefixes of the conflicting values (prefix min/max for
+        the same agg-buffer reason as the stats sketch) —
         deterministic, so the whole row is oracle-replayable."""
         dep = F.expr(c.dependent) if not c.dependent.isidentifier() else F.col(c.dependent)
-        prefix = F.substring(dep.cast("string"), 1, 64)
+        pairs = (
+            df.filter(dep.isNotNull())  # NULL dependents pass
+            .select(*c.determinants, dep.alias("__dep"))
+            .distinct()
+        )
+        prefix = F.substring(F.col("__dep").cast("string"), 1, 64)
         groups = (
-            df.groupBy(*c.determinants)
+            pairs.groupBy(*c.determinants)
             .agg(
-                F.count_distinct(dep).alias("__nvals"),  # NULLs don't count
+                F.count(F.lit(1)).alias("__nvals"),
                 F.min(prefix).alias("__lo"),
                 F.max(prefix).alias("__hi"),
             )
