@@ -289,3 +289,57 @@ def test_stream_session_counts_match_batch_gaps(spark, tmp_path):
     assert expected <= got
     # nothing unexpected for the real users
     assert {g for g in got if g[0] != 999} == expected
+
+
+def test_stream_ks_drift_bins(spark, tmp_path):
+    """Streaming KS drift: watermarked bin counts + the stateless
+    in-plan verdict view. Only the later window's values shift, so its
+    verdict fails while the first window's passes; the streamed D
+    equals the batch ks_statistic_df on the same slice."""
+    from xsd2json_spark.engine.drift import (
+        ks_statistic_df,
+        ks_verdicts_over_bins,
+        make_numeric_baseline,
+    )
+    import math
+
+    from xsd2json_spark.spec.constraints import Drift
+    from xsd2json_spark.streaming.validate_stream import stream_bin_counts
+
+    t0 = 1_700_000_000
+    base = spark.range(6000).select(
+        (F.col("id") % 100).cast("double").alias("x"),
+        F.timestamp_seconds(F.lit(t0) + (F.col("id") % 2) * 600 + F.col("id") % 100).alias("ts"),
+    )
+    # shift ONLY the later window's values far upward
+    data = base.withColumn(
+        "x",
+        F.when(F.unix_timestamp("ts") >= t0 + 600, F.col("x") + 500.0).otherwise(F.col("x")),
+    )
+    src = str(tmp_path / "ks_src")
+    data.write.parquet(src)
+
+    baseline = make_numeric_baseline(base, "x")
+    c = Drift(id="ks", column="x", test="ks", baseline="b", alpha=0.01)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    counts = stream_bin_counts(stream, c, baseline, time_col="ts",
+                               window="5 minutes", watermark="10 minutes")
+    q = (
+        counts.writeStream.format("memory").queryName("ks_bins")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    verd = ks_verdicts_over_bins(
+        spark.table("ks_bins"), baseline, alpha=0.01
+    ).withColumn("ws", F.unix_timestamp(F.col("window.start")))
+    rows = {r["ws"] >= t0 + 300: r for r in verd.collect()}
+    assert len(rows) == 2
+    assert rows[False]["passed"] and not rows[True]["passed"]
+
+    # batch equivalence on the drifted slice
+    later = data.filter(F.unix_timestamp("ts") >= t0 + 600)
+    bd = ks_statistic_df(later, "x", baseline["grid"], baseline["ecdf"]).collect()[0]
+    assert math.isclose(rows[True]["d_statistic"], bd["d_statistic"], rel_tol=1e-9)
+    assert rows[True]["n_cur"] == bd["n_cur"]

@@ -235,6 +235,69 @@ def ks_statistic_df(
     return agg.select(*gb, d.alias("d_statistic"), F.col("n_cur").cast("long").alias("n_cur"))
 
 
+def bin_index_expr(v, grid) -> "F.Column":
+    """In-plan bin index against a baseline quantile grid: the number
+    of grid edges STRICTLY BELOW the value ``v`` (a Column), so rows
+    with v <= grid[i] are exactly the rows with bin <= i — the same
+    boundary semantics as ks_drift's avg(v <= q) probes. Shared by the
+    incremental KS state and the streaming KS counter."""
+    edges = F.array(*[F.lit(float(q)) for q in grid])
+    return F.size(F.filter(edges, lambda e: e < v))
+
+
+def ks_verdicts_over_bins(
+    bins_df: DataFrame,
+    baseline: dict,
+    window_cols=("window",),
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Per-window KS drift verdicts as a STATELESS view over a
+    bin-counter table — the KS sibling of drift_verdicts_over_counts:
+    the stateful part is just the watermarked bin-count aggregation
+    (streaming.stream_bin_counts); this view folds each window's bins
+    into a map, evaluates the ECDF at every baseline grid point as a
+    cumulative map sum, takes D as a greatest() over the grid, and
+    applies the in-plan pass rule (ks_crit_lambda constant over the
+    sample-size expression — see ks_drift_verdicts_df). Entirely
+    in-plan: no per-row Python, no driver-side stats.
+
+    bins_df: (window_cols..., __bin, n) — a micro-batch sink, a
+    composed incremental state, or any batch equivalent. Returns
+    (window_cols..., d_statistic, n_cur, passed)."""
+    from xsd2json_spark.engine.stats_math import ks_crit_lambda
+
+    grid, base_ecdf, n_base = baseline["grid"], baseline["ecdf"], int(baseline["n"])
+    lam = ks_crit_lambda(alpha)
+    wc = list(window_cols)
+    per = (
+        bins_df.groupBy(*wc)
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("__bin", "n"))).alias("__m"),
+            F.sum("n").alias("n_cur"),
+        )
+    )
+    # ECDF at grid point i = (rows with bin <= i) / n_cur — a bounded
+    # fold over the ~grid-sized map, per grid point
+    def ecdf_at(i):
+        acc = F.aggregate(
+            F.map_entries("__m"),
+            F.lit(0).cast("long"),
+            lambda a, e: a + F.when(e.key <= F.lit(i), e.value).otherwise(F.lit(0)),
+        )
+        return acc.cast("double") / F.col("n_cur").cast("double")
+
+    diffs = [F.abs(ecdf_at(i) - F.lit(float(e))) for i, e in enumerate(base_ecdf)]
+    d = F.greatest(*diffs) if len(diffs) > 1 else diffs[0]
+    ne = (F.lit(float(n_base)) * F.col("n_cur")) / (F.lit(float(n_base)) + F.col("n_cur"))
+    d_crit = F.lit(lam) / (F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne))
+    return per.select(
+        *wc,
+        d.alias("d_statistic"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        (d <= d_crit).alias("passed"),
+    )
+
+
 def ks_drift_verdicts_df(
     df: DataFrame, expr: str, baseline: dict, by=None, alpha: float = 0.01
 ) -> DataFrame:

@@ -352,12 +352,12 @@ def compose_drift_counts(
 
 
 def _bin_expr(v, grid) -> "F.Column":
-    """In-plan bin index against the baseline's quantile grid: the
-    number of grid edges STRICTLY BELOW the value ``v`` (a Column), so
-    rows with v <= grid[i] are exactly the rows with bin <= i — the
-    same boundary semantics as ks_drift's avg(v <= q) probes."""
-    edges = F.array(*[F.lit(float(q)) for q in grid])
-    return F.size(F.filter(edges, lambda e: e < v))
+    """Canonical form lives in engine.drift.bin_index_expr (shared with
+    the streaming KS counter); kept as a thin alias for this module's
+    call sites."""
+    from xsd2json_spark.engine.drift import bin_index_expr
+
+    return bin_index_expr(v, grid)
 
 
 def drift_value_bins(df: DataFrame, c: Drift, baselines: dict) -> DataFrame:

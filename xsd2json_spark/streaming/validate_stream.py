@@ -94,6 +94,36 @@ def stream_category_counts(
     )
 
 
+def stream_bin_counts(
+    stream_df: DataFrame,
+    c,
+    baseline: dict,
+    time_col: str,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked per-(window, bin) counts for a KS (numeric) Drift
+    constraint against the BASELINE's quantile grid — the KS sibling of
+    stream_category_counts and the only stateful piece of streaming KS
+    drift. Sink these counters and derive verdicts statelessly with
+    engine.drift.ks_verdicts_over_bins (per-window D + in-plan pass
+    rule): same chained-aggregation avoidance, same restart story, and
+    the counter table doubles as the incremental KS state
+    (engine.incremental.compose_drift_bins composes it)."""
+    from xsd2json_spark.engine.drift import bin_index_expr
+
+    value = (F.expr(c.expr) if c.expr else F.col(c.column)).cast("double")
+    return (
+        stream_df.withWatermark(time_col, watermark)
+        .filter(value.isNotNull())
+        .groupBy(
+            F.window(F.col(time_col), window).alias("window"),
+            bin_index_expr(value, baseline["grid"]).alias("__bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def stream_session_counts(
     stream_df: DataFrame,
     time_col: str,
