@@ -1392,6 +1392,56 @@ def q_cv_ratio_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cv_incremental_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked incremental DRIFT state composition (new round 5):
+    snapshot B deletes doc_id >= 480, shifts lang en->zh where % 7 == 0,
+    and shifts n_chars +40 where % 5 == 0. Spark NEVER aggregates B:
+    it composes A's chi2 category-count state AND A's KS bin-count
+    state (against the deterministic baseline grid) with the
+    multiset-aware snapshot delta; DuckDB recomputes both count tables
+    from scratch on B (bin index replayed as a sum of grid-literal
+    comparisons). Equality proves the composed counts — the ONLY input
+    the drift verdicts read — are exact, for the categorical and the
+    numeric flavor in one artifact row set."""
+    from xsd2json_spark.engine.incremental import (
+        compose_drift_bins,
+        compose_drift_counts,
+        drift_category_counts,
+        drift_value_bins,
+        snapshot_delta,
+    )
+    from xsd2json_spark.spec.constraints import Drift
+
+    grid, ecdf, n_base = _ks_baseline(sf_dir)
+    baselines = {"b": {"grid": grid, "ecdf": ecdf, "n": n_base}}
+    chi_c = Drift(id="chi", column="lang", test="chi2", baseline="b")
+    ks_c = Drift(id="ks", column="n_chars", test="ks", baseline="b")
+
+    a = _t(spark, sf_dir, "documents")
+    b = (
+        a.filter(F.col("doc_id") < 480)
+        .withColumn(
+            "lang",
+            F.when((F.col("doc_id") % 7 == 0) & (F.col("lang") == "en"), F.lit("zh"))
+            .otherwise(F.col("lang")),
+        )
+        .withColumn(
+            "n_chars",
+            F.when(F.col("doc_id") % 5 == 0, F.col("n_chars") + 40).otherwise(F.col("n_chars")),
+        )
+    )
+    added, removed = snapshot_delta(a, b, ["doc_id"])
+    cat = compose_drift_counts(drift_category_counts(a, chi_c), added, removed, chi_c)
+    bins = compose_drift_bins(drift_value_bins(a, ks_c, baselines), added, removed, ks_c, baselines)
+    return (
+        cat.select(F.lit("cat").alias("kind"), F.col("__cat").cast("string").alias("key"),
+                   F.col("n").cast("long").alias("n"))
+        .unionByName(
+            bins.select(F.lit("bin").alias("kind"), F.col("__bin").cast("string").alias("key"),
+                        F.col("n").cast("long").alias("n")))
+    )
+
+
 def q_cv_incremental_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-checked incremental FOREIGN-KEY validation (new round 5):
     the FK check composed from a fact-side keyed count state instead of
@@ -1584,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cv_fd_violations": q_cv_fd_violations,
         "cv_ratio_verdicts": q_cv_ratio_verdicts,
         "cv_drift_ks": q_cv_drift_ks,
+        "cv_incremental_drift": q_cv_incremental_drift,
         # Oracle-able but redundant witnesses (spilled by the 50-row
         # cap; replayable any time via tools/check_oracle.py):
         # cv_drift_ks_by_stat / cv_drift_chi2_by_stat run the same
@@ -2145,6 +2196,33 @@ def _ks_verdict_oracle() -> str:
     """
 
 
+def _incremental_drift_oracle() -> str:
+    """DuckDB from-scratch recompute of snapshot B's category counts
+    and baseline-grid bin counts (the composed-state equality's right
+    hand side); the bin index replays as a sum of grid-literal
+    comparisons."""
+    grid, _ecdf, _n = _ks_baseline("/root/testdata/sf0.01")
+    bin_terms = " + ".join(
+        f"(CASE WHEN {q!r} < v THEN 1 ELSE 0 END)" for q in grid
+    )
+    return f"""
+        WITH b AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 AND lang = 'en' THEN 'zh'
+                        ELSE lang END AS lang,
+                   CASE WHEN doc_id % 5 = 0 THEN n_chars + 40
+                        ELSE n_chars END AS n_chars
+            FROM documents WHERE doc_id < 480
+        )
+        SELECT 'cat' AS kind, lang AS key, CAST(count(*) AS BIGINT) AS n
+        FROM b WHERE lang IS NOT NULL GROUP BY lang
+        UNION ALL
+        SELECT 'bin', CAST(({bin_terms}) AS VARCHAR), CAST(count(*) AS BIGINT)
+        FROM (SELECT CAST(n_chars AS DOUBLE) AS v FROM b WHERE n_chars IS NOT NULL)
+        GROUP BY 2
+    """
+
+
 def _ks_by_stat_oracle() -> str:
     """Per-group DuckDB replay of the KS D statistic (same literal
     grid/ECDF as _ks_stat_oracle, grouped by lang)."""
@@ -2345,6 +2423,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cv_drift_ks_stat": _ks_stat_oracle(),
         "cv_drift_ks": _ks_verdict_oracle(),
+        "cv_incremental_drift": _incremental_drift_oracle(),
         "cv_drift_ks_by_stat": _ks_by_stat_oracle(),
         "doc_packing": _packing_oracle(),
         "doc_contamination": _contamination_oracle(),
