@@ -17,9 +17,14 @@ failed, 0 otherwise (CI-gate style).
 --incremental-prev switches to snapshot-delta validation
 (engine/incremental.py): row-level constraint counters compose from the
 previous snapshot's persisted verdicts plus counters over the keyed
-delta only; table-level checks recompute on the current snapshot. Only
-<output>/verdicts is written in this mode (violations/stats are
-full-run products).
+delta only; table-level checks recompute on the current snapshot UNLESS
+--state-dir supplies the previous snapshot's materialized states (one
+parquet subdir per constraint id), in which case unique / FK /
+cardinality / drift verdicts COMPOSE from state + delta and never
+re-shuffle the current snapshot's keys. --write-state-dir persists the
+current snapshot's states for the next run (each is
+key/category/grid-cardinality-sized). Only <output>/verdicts is written
+in incremental mode (violations/stats are full-run products).
 """
 
 from __future__ import annotations
@@ -52,6 +57,15 @@ def main(argv=None) -> int:
                     help="previous snapshot (parquet) for delta validation")
     ap.add_argument("--prev-verdicts", default=None, metavar="PATH",
                     help="previous run's verdicts (parquet), required with --incremental-prev")
+    ap.add_argument("--state-dir", default=None, metavar="PATH",
+                    help="previous snapshot's table-check states (one parquet "
+                         "subdir per constraint id, written by --write-state-dir): "
+                         "with --incremental-prev, unique/FK/cardinality/drift "
+                         "verdicts COMPOSE from these states instead of "
+                         "re-shuffling the current snapshot's keys")
+    ap.add_argument("--write-state-dir", default=None, metavar="PATH",
+                    help="write the CURRENT snapshot's table-check states here "
+                         "for the next incremental run")
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName(f"validate:{os.path.basename(args.spec)}").getOrCreate()
@@ -73,7 +87,7 @@ def main(argv=None) -> int:
     df = spark.read.parquet(args.input)
 
     if args.incremental_prev:
-        from xsd2json_spark.engine.incremental import incremental_verdicts
+        from xsd2json_spark.engine.incremental import incremental_verdicts, split_states
 
         if not args.prev_verdicts:
             ap.error("--incremental-prev requires --prev-verdicts")
@@ -81,7 +95,18 @@ def main(argv=None) -> int:
             ap.error("--incremental-prev and --resume are mutually exclusive")
         prev_df = spark.read.parquet(args.incremental_prev)
         prev_v = spark.read.parquet(args.prev_verdicts)
-        verdicts = incremental_verdicts(spark, spec, prev_df, df, prev_v, dims=dims)
+        state_kw = {}
+        if args.state_dir:
+            states = {}
+            for c in spec.table_level():
+                p = os.path.join(args.state_dir, c.id)
+                if os.path.exists(p):
+                    states[c.id] = spark.read.parquet(p)
+            state_kw = split_states(spec, states)
+        verdicts = incremental_verdicts(
+            spark, spec, prev_df, df, prev_v, dims=dims,
+            baselines=baselines, **state_kw,
+        )
         verdicts.write.mode("overwrite").parquet(os.path.join(args.output, "verdicts"))
     elif args.resume:
         runner = ResumableRunner(engine, args.output, run_id=args.run_id, n_buckets=args.buckets)
@@ -94,6 +119,12 @@ def main(argv=None) -> int:
         res.violations.write.mode("overwrite").parquet(os.path.join(args.output, "violations"))
         res.stats.write.mode("overwrite").parquet(os.path.join(args.output, "stats"))
         verdicts = res.verdicts
+
+    if args.write_state_dir:
+        from xsd2json_spark.engine.incremental import build_states
+
+        for cid, st in build_states(df, spec, baselines=baselines).items():
+            st.write.mode("overwrite").parquet(os.path.join(args.write_state_dir, cid))
 
     verdict_rows = verdicts.collect()
     failed = [r for r in verdict_rows if not r["passed"]]

@@ -536,3 +536,38 @@ def test_incremental_ks_drift_matches_full_run(spark):
         imap = vmap(inc)
         assert imap == vmap(full)
     assert not imap["ks"][1]  # the shifted snapshot drifts
+
+
+def test_build_and_split_states_cover_all_kinds(spark):
+    """build_states emits exactly the maintainable states (unique, FK,
+    cardinality, chi2 drift, global KS drift — not quantile, not
+    per-group KS), and split_states routes each to the right
+    incremental_verdicts kwarg."""
+    from xsd2json_spark.engine.drift import make_numeric_baseline
+    from xsd2json_spark.engine.incremental import build_states, split_states
+
+    df = spark.createDataFrame(
+        [(i, "r%d" % (i % 3), float(i % 50), ["py", "go"][i % 2]) for i in range(100)],
+        "doc_id long, repo string, x double, lang string",
+    )
+    spec = spec_from_dict({
+        "name": "s", "key_columns": ["doc_id"], "constraints": [
+            {"kind": "unique", "id": "pk", "columns": ["doc_id"]},
+            {"kind": "foreign_key", "id": "fk", "columns": ["repo"], "ref_table": "r"},
+            {"kind": "cardinality", "id": "card", "group_by": ["repo"], "min": 1},
+            {"kind": "drift", "id": "chi", "column": "lang", "test": "chi2", "baseline": "b"},
+            {"kind": "drift", "id": "ks", "column": "x", "test": "ks", "baseline": "b"},
+            {"kind": "drift", "id": "ksg", "column": "x", "test": "ks", "baseline": "b",
+             "group_by": ["repo"]},
+            {"kind": "quantile", "id": "q", "column": "x", "p": 0.5, "min": 0},
+        ]})
+    baselines = {"b": make_numeric_baseline(df, "x")}
+    states = build_states(df, spec, baselines=baselines)
+    assert sorted(states) == ["card", "chi", "fk", "ks", "pk"]  # no q, no ksg
+    kw = split_states(spec, states)
+    assert sorted(kw["unique_state"]) == ["pk"]
+    assert sorted(kw["fk_state"]) == ["fk"]
+    assert sorted(kw["cardinality_state"]) == ["card"]
+    assert sorted(kw["drift_state"]) == ["chi", "ks"]
+    assert states["ks"].columns == ["__bin", "n"]
+    assert states["chi"].columns == ["__cat", "n"]

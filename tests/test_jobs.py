@@ -114,3 +114,49 @@ def test_incremental_job_matches_full_run(spark, tmp_path):
         for r in spark.read.parquet(out_b_inc + "/verdicts").collect()
     }
     assert inc == full and len(inc) == 2
+
+
+def test_incremental_job_with_state_dir(spark, tmp_path):
+    """--write-state-dir on run A, --state-dir on the incremental A->B
+    run: composed table-check verdicts equal the full run's, and the
+    state round-trips through parquet."""
+    from jobs.validate import main as val_main
+
+    files = files_table(spark, n_rows=3000)
+    a_path = str(tmp_path / "a.parquet")
+    files.write.parquet(a_path)
+    h = F.abs(F.xxhash64("repo", "path", "commit"))
+    b = files.filter(h % 31 != 0)
+    b_path = str(tmp_path / "b.parquet")
+    b.write.parquet(b_path)
+    spec_path = _write_spec(
+        tmp_path,
+        [
+            {"kind": "not_null", "id": "c_nn", "column": "content"},
+            {"kind": "unique", "id": "pk", "columns": ["repo", "path", "commit"]},
+            {"kind": "cardinality", "id": "card", "group_by": ["repo"], "min": 1, "max": 2000},
+        ],
+    )
+    out_a = str(tmp_path / "audit_a")
+    out_b_full = str(tmp_path / "audit_b_full")
+    out_b_inc = str(tmp_path / "audit_b_inc")
+    state = str(tmp_path / "state_a")
+    assert val_main(["--input", a_path, "--spec", spec_path, "--output", out_a,
+                     "--write-state-dir", state]) == 1
+    import os as _os
+    assert sorted(_os.listdir(state)) == ["card", "pk"]
+    assert val_main(["--input", b_path, "--spec", spec_path, "--output", out_b_full]) == 1
+    assert val_main([
+        "--input", b_path, "--spec", spec_path, "--output", out_b_inc,
+        "--incremental-prev", a_path, "--prev-verdicts", out_a + "/verdicts",
+        "--state-dir", state,
+    ]) == 1
+    full = {
+        (r["partition_key"], r["constraint_id"]): (r["violation_count"], r["passed"])
+        for r in spark.read.parquet(out_b_full + "/verdicts").collect()
+    }
+    inc = {
+        (r["partition_key"], r["constraint_id"]): (r["violation_count"], r["passed"])
+        for r in spark.read.parquet(out_b_inc + "/verdicts").collect()
+    }
+    assert inc == full and len(inc) == 3

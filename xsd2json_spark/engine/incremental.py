@@ -617,3 +617,51 @@ def incremental_verdicts(
         )
         verdicts = verdicts.unionByName(tv.select(*VERDICT_COLUMNS))
     return verdicts
+
+
+def build_states(df: DataFrame, spec: Spec, baselines=None) -> "dict[str, DataFrame]":
+    """All maintainable table-level states for a snapshot in one place:
+    {constraint_id: state DataFrame} — (key..., n) for unique/FK
+    (NULL-dropped) and cardinality (NULL-kept), (group..., __cat, n)
+    for chi2 drift, (__bin, n) for KS drift. Persist these next to the
+    snapshot's verdicts (each is key/category/grid-cardinality-sized)
+    and the next run composes them over the delta via
+    ``incremental_verdicts(**split_states(spec, states))``. Quantile is
+    the one table check with no state (order statistics don't
+    subtract)."""
+    out: "dict[str, DataFrame]" = {}
+    for c in spec.table_level():
+        if isinstance(c, Unique):
+            out[c.id] = key_counts(df, c.columns)
+        elif isinstance(c, ForeignKey):
+            out[c.id] = key_counts(df, c.columns)
+        elif isinstance(c, Cardinality):
+            out[c.id] = key_counts(df, c.group_by, drop_null_keys=False)
+        elif isinstance(c, Drift):
+            if c.test == "chi2":
+                out[c.id] = drift_category_counts(df, c)
+            elif not c.group_by:
+                out[c.id] = drift_value_bins(df, c, baselines or {})
+            # per-group KS stays a recompute — no state emitted
+    return out
+
+
+def split_states(spec: Spec, states: "dict[str, DataFrame]") -> dict:
+    """Partition a {constraint_id: state} dict into the kwargs
+    ``incremental_verdicts`` takes (unique_state / fk_state /
+    cardinality_state / drift_state), keyed by each constraint's
+    actual kind — so job code can persist states under one directory
+    and not care which check they belong to."""
+    by_id = {c.id: c for c in spec.table_level()}
+    kw: dict = {"unique_state": {}, "fk_state": {}, "cardinality_state": {}, "drift_state": {}}
+    for cid, st in states.items():
+        c = by_id.get(cid)
+        if isinstance(c, Unique):
+            kw["unique_state"][cid] = st
+        elif isinstance(c, ForeignKey):
+            kw["fk_state"][cid] = st
+        elif isinstance(c, Cardinality):
+            kw["cardinality_state"][cid] = st
+        elif isinstance(c, Drift):
+            kw["drift_state"][cid] = st
+    return kw
