@@ -513,6 +513,48 @@ def q_emb_knn_lsh_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M = 8
+PQ_K = 16
+
+
+def _pq_codebooks(sf_dir: str):
+    """Deterministic PQ codebooks: same vec_id-sorted pyarrow read as
+    _ivf_centroids, per-sub-space kmeans_numpy(seed=42+j) — the
+    codebook doubles feed the Spark encode AND embed as DuckDB
+    literals in _pq_oracle."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).to_pandas().sort_values("vec_id")
+    mat = np.array(tbl["embedding"].tolist(), dtype=np.float64)
+    return S.train_pq(mat, m=PQ_M, k=PQ_K, seed=42)
+
+
+def q_emb_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked product-quantization ANN (new round 5 — the
+    compressed-domain scale path past IVF/LSH, Jégou et al. 2011):
+    vectors encode to m=8 sub-space codes (argmax 2 v.c - |c|^2 per
+    sub-space, the IVF assignment expression over F.slice), the query
+    builds an m x k inner-product lookup table driver-side, and each
+    row's ADC score is a bounded in-plan fold over its codes — the
+    scan reads ids + 8 ints per row, never a raw embedding, then
+    TakeOrderedAndProject. DuckDB replays encode (struct-max
+    tie-break over codebook literals on list slices), the LUT join,
+    and the rounded-score top-k. Exact-cosine re-rank of the ADC
+    shortlist is pq_topk_rerank (recall-tested in pytest)."""
+    cb = _pq_codebooks(sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    codes = S.pq_encode(emb, cb)
+    out = S.pq_topk(codes, qvec, cb, k=10, round_to=6)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def q_emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-checked (new this round): the IVF centroids are
     deterministic numpy k-means over a vec_id-sorted read, so DuckDB
@@ -1635,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cv_ratio_verdicts": q_cv_ratio_verdicts,
         "cv_drift_ks": q_cv_drift_ks,
         "cv_incremental_drift": q_cv_incremental_drift,
+        "emb_knn_pq": q_emb_knn_pq,
         # Oracle-able but redundant witnesses (spilled by the 50-row
         # cap; replayable any time via tools/check_oracle.py):
         # cv_drift_ks_by_stat / cv_drift_chi2_by_stat run the same
@@ -1781,6 +1824,58 @@ def _ivf_oracle() -> str:
         )
         SELECT CAST(vec_id AS BIGINT) AS vec_id, round(s6, 4) AS score
         FROM cand ORDER BY s6 DESC, vec_id LIMIT 10
+    """
+
+
+def _pq_oracle() -> str:
+    """DuckDB replay of the PQ ADC top-k: codebooks as literal
+    DOUBLE[] rows keyed (sub-space j, codeword c); per (vector, j) the
+    assigned codeword is the same argmax (2 v.c - |c|^2) struct-max
+    tie-break as the Spark expression, over the 1-based list slice of
+    the sub-space; the query-side LUT (precomputed inner products)
+    joins on (j, code) and sums; ranking on the ROUNDED score + vec_id
+    exactly like pq_topk(round_to=6)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.01"
+    cb = _pq_codebooks(sf)
+    m, k, sub = cb.shape
+    tbl = pq.read_table(
+        os.path.join(sf, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).to_pandas()
+    q = np.array(tbl.loc[tbl.vec_id == 0, "embedding"].iloc[0], dtype=np.float64)
+    lut = np.einsum("mkd,md->mk", cb, q.reshape(m, sub))
+    cb_vals = ", ".join(
+        f"({j}, {c}, [{', '.join(repr(float(x)) for x in cb[j][c])}]::DOUBLE[], "
+        f"{repr(float(np.dot(cb[j][c], cb[j][c])))})"
+        for j in range(m) for c in range(k)
+    )
+    lut_vals = ", ".join(
+        f"({j}, {c}, {repr(float(lut[j][c]))})" for j in range(m) for c in range(k)
+    )
+    return f"""
+        WITH cb(j, c, v, n2) AS (VALUES {cb_vals}),
+        lut(j, c, l) AS (VALUES {lut_vals}),
+        a AS (
+            SELECT e.vec_id, cb.j,
+                   (max(struct_pack(
+                        s := 2.0 * list_dot_product(
+                                 (e.embedding::DOUBLE[])[cb.j * {sub} + 1 : (cb.j + 1) * {sub}],
+                                 cb.v) - cb.n2,
+                        c := cb.c))).c AS code
+            FROM embeddings e CROSS JOIN cb
+            GROUP BY e.vec_id, cb.j
+        ),
+        s AS (
+            -- l::DOUBLE: DuckDB infers DECIMAL for VALUES numerics,
+            -- and DECIMAL round() formats with trailing zeros
+            SELECT a.vec_id, round(sum(l.l::DOUBLE), 6) AS s6
+            FROM a JOIN lut l ON l.j = a.j AND l.c = a.code
+            GROUP BY a.vec_id
+        )
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, round(s6, 4) AS score
+        FROM s ORDER BY s6 DESC, vec_id LIMIT 10
     """
 
 
@@ -2424,6 +2519,7 @@ def oracle_sql() -> dict[str, str]:
         "cv_drift_ks_stat": _ks_stat_oracle(),
         "cv_drift_ks": _ks_verdict_oracle(),
         "cv_incremental_drift": _incremental_drift_oracle(),
+        "emb_knn_pq": _pq_oracle(),
         "cv_drift_ks_by_stat": _ks_by_stat_oracle(),
         "doc_packing": _packing_oracle(),
         "doc_contamination": _contamination_oracle(),

@@ -364,3 +364,125 @@ def ivf_topk_indexed(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN (Jégou et al. 2011,
+# public). The scale path past IVF/LSH: vectors compress to m small
+# sub-space codes (m bytes at k<=256), the query never touches raw
+# vectors until an optional exact re-rank of the short list.
+# ---------------------------------------------------------------------------
+
+
+def train_pq(
+    mat: np.ndarray, m: int = 8, k: int = 16, iters: int = 3, seed: int = 42
+) -> np.ndarray:
+    """Deterministic PQ codebooks: split the dimension into m equal
+    sub-spaces and run kmeans_numpy independently in each. Returns
+    (m, k, dim/m). Driver-side on a bounded SAMPLE (like the IVF
+    quantizer) — codebooks are m*k*(dim/m) = k*dim floats total, so
+    they embed as literals in both the Spark encode and the DuckDB
+    oracle replay."""
+    mat = np.asarray(mat, dtype=np.float64)
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"train_pq: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return np.stack([
+        kmeans_numpy(mat[:, j * sub:(j + 1) * sub], n_centroids=k, iters=iters, seed=seed + j)
+        for j in range(m)
+    ])
+
+
+def pq_encode(
+    df: DataFrame, codebooks: np.ndarray, vec_col: str = "embedding", out_col: str = "pq_code"
+) -> DataFrame:
+    """Encode vectors to their PQ codes: per sub-space, the nearest
+    codeword index via the same argmax (2 v.c - |c|^2) struct-max
+    expression the IVF assignment uses (assign_centroid auto-dispatch:
+    pure Column exprs for small codebooks, Arrow beyond the literal
+    threshold), over F.slice of the vector — no Python for the default
+    8x16x(dim/8) shape. Output column: array<int> of length m. The
+    encoded table is the thing you PERSIST: m ints per row instead of
+    dim floats (32x smaller at dim=64/m=8 before parquet encoding),
+    and every subsequent query scans only codes."""
+    m, _k, sub = codebooks.shape
+    codes = [
+        assign_centroid(F.slice(F.col(vec_col), j * sub + 1, sub), codebooks[j])
+        for j in range(m)
+    ]
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    query_vec: Sequence[float],
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    round_to: "int | None" = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes, fully in-plan:
+    the per-sub-space lookup table lut[j][c] = <q_j, codebook[j][c]>
+    (the inner-product contribution of codeword c in sub-space j) is
+    m x k doubles computed driver-side and embedded as a nested array
+    literal; each row's approximate score is a bounded fold
+    sum_j lut[j][code_j] — pure Column expressions, whole-stage
+    codegen, then TakeOrderedAndProject for the top-k. The scan reads
+    (id, m-int codes) only: at warehouse scale this is the query path
+    that never decompresses an embedding."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, _kk, sub = cb.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    if q.shape[0] != m * sub:
+        raise ValueError(f"pq_topk: query dim {q.shape[0]} != {m * sub}")
+    lut = np.einsum("mkd,md->mk", cb, q.reshape(m, sub))
+    lut_lit = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in lut])
+    score = F.aggregate(
+        F.zip_with(
+            F.col(code_col),
+            lut_lit,
+            lambda c, row: F.element_at(row, c.cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # round_to: rank on the ROUNDED score (then id) so the ordering is
+    # reproducible across engines/summation orders — the oracle-replay
+    # trick ivf_topk uses (a raw float fold's last-ulp noise must not
+    # decide a rank-boundary tie)
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (
+        codes_df.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_topk_rerank(
+    df: DataFrame,
+    codes_df: DataFrame,
+    query_vec: Sequence[float],
+    codebooks: np.ndarray,
+    k: int = 10,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Two-stage PQ search: ADC over the compressed table shortlists
+    ``rerank`` candidates, then ONLY those ids join back (broadcast —
+    the shortlist is k-sized) to the raw vectors for exact cosine
+    ordering. The raw table is touched for ``rerank`` rows, not the
+    corpus; this recovers exact-metric ordering at the top while the
+    scan stays compressed-domain."""
+    short = pq_topk(codes_df, query_vec, codebooks, k=rerank, id_col=id_col, code_col=code_col)
+    qv = _lit_vec(query_vec)
+    return (
+        df.join(F.broadcast(short.select(id_col)), id_col, "left_semi")
+        .select(F.col(id_col), cosine(F.col(vec_col), qv).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
