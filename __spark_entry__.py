@@ -1434,6 +1434,50 @@ def q_cv_ratio_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cv_metric_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked metric-history anomaly detection (new round 5,
+    Deequ AnomalyDetection analog): five deterministic "prior runs"
+    (doc_id % 6 slices 1-5) persist per-lang document counts; the
+    "current run" (slice 0) drops half its English docs. Both the
+    z-score and the MAD estimator judge the current values against the
+    history — center/spread/score/verdict all in-plan (one aggregation
+    over the runs x metrics history + a broadcast of the current
+    values) — and DuckDB replays mean/stddev_samp, exact medians
+    (quantile_cont == F.percentile interpolation), the 0.6745 MAD
+    consistency constant, and the threshold rule."""
+    from xsd2json_spark.engine.anomaly import metric_anomaly_verdicts
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    history = (
+        docs.filter(F.col("doc_id") % 6 != 0)
+        .groupBy((F.col("doc_id") % 6).alias("run"), "lang")
+        .agg(F.count(F.lit(1)).alias("value"))
+        .drop("run")
+    )
+    current = (
+        docs.filter(F.col("doc_id") % 6 == 0)
+        .filter(~((F.col("lang") == "en") & (F.col("doc_id") % 2 == 0)))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("value"))
+    )
+    outs = []
+    for method in ("zscore", "mad"):
+        v = metric_anomaly_verdicts(
+            history, current, metric_cols=("lang",), method=method, threshold=3.0
+        )
+        outs.append(v.select(
+            F.lit(method).alias("method"),
+            "lang",
+            F.col("value").cast("long").alias("value"),
+            "n_history",
+            F.round("center", 6).alias("center"),
+            F.round("spread", 6).alias("spread"),
+            F.round("score", 6).alias("score"),
+            "passed",
+        ))
+    return outs[0].unionByName(outs[1])
+
+
 def q_cv_incremental_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-checked incremental DRIFT state composition (new round 5):
     snapshot B deletes doc_id >= 480, shifts lang en->zh where % 7 == 0,
@@ -1678,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cv_drift_ks": q_cv_drift_ks,
         "cv_incremental_drift": q_cv_incremental_drift,
         "emb_knn_pq": q_emb_knn_pq,
+        "cv_metric_anomaly": q_cv_metric_anomaly,
         # Oracle-able but redundant witnesses (spilled by the 50-row
         # cap; replayable any time via tools/check_oracle.py):
         # cv_drift_ks_by_stat / cv_drift_chi2_by_stat run the same
@@ -2291,6 +2336,62 @@ def _ks_verdict_oracle() -> str:
     """
 
 
+def _metric_anomaly_oracle() -> str:
+    """DuckDB replay of cv_metric_anomaly: same history/current slices,
+    mean + stddev_samp (sample stddev in both engines), exact medians
+    via quantile_cont (== F.percentile linear interpolation), MAD with
+    the 0.6745 consistency constant, NULL-safe score division, and the
+    vacuous/zero-spread/threshold verdict ladder."""
+    return """
+        WITH hist AS (
+            SELECT lang, count(*) AS value
+            FROM documents
+            WHERE lang IS NOT NULL AND doc_id % 6 <> 0
+            GROUP BY doc_id % 6, lang
+        ),
+        cur AS (
+            SELECT lang, count(*) AS value
+            FROM documents
+            WHERE lang IS NOT NULL AND doc_id % 6 = 0
+              AND NOT (lang = 'en' AND doc_id % 2 = 0)
+            GROUP BY lang
+        ),
+        z AS (
+            SELECT lang, count(*) AS n_history,
+                   avg(value::DOUBLE) AS center,
+                   coalesce(stddev_samp(value::DOUBLE), 0.0) AS spread
+            FROM hist GROUP BY lang
+        ),
+        med AS (
+            SELECT lang, quantile_cont(value::DOUBLE, 0.5) AS center
+            FROM hist GROUP BY lang
+        ),
+        m AS (
+            SELECT h.lang, count(*) AS n_history, any_value(med.center) AS center,
+                   quantile_cont(abs(h.value::DOUBLE - med.center), 0.5) AS spread
+            FROM hist h JOIN med ON med.lang = h.lang
+            GROUP BY h.lang
+        ),
+        scored AS (
+            SELECT 'zscore' AS method, z.lang, c.value, z.n_history, z.center, z.spread,
+                   1.0 * (c.value::DOUBLE - z.center) / nullif(z.spread, 0.0) AS raw
+            FROM z JOIN cur c ON c.lang = z.lang
+            UNION ALL
+            SELECT 'mad', m.lang, c.value, m.n_history, m.center, m.spread,
+                   0.6745 * (c.value::DOUBLE - m.center) / nullif(m.spread, 0.0)
+            FROM m JOIN cur c ON c.lang = m.lang
+        )
+        SELECT method, lang, CAST(value AS BIGINT) AS value,
+               CAST(n_history AS BIGINT) AS n_history,
+               round(center, 6) AS center, round(spread, 6) AS spread,
+               CASE WHEN n_history >= 3 THEN round(raw, 6) END AS score,
+               CASE WHEN n_history < 3 THEN TRUE
+                    WHEN spread = 0.0 THEN value::DOUBLE = center
+                    ELSE abs(raw) <= 3.0 END AS passed
+        FROM scored
+    """
+
+
 def _incremental_drift_oracle() -> str:
     """DuckDB from-scratch recompute of snapshot B's category counts
     and baseline-grid bin counts (the composed-state equality's right
@@ -2520,6 +2621,7 @@ def oracle_sql() -> dict[str, str]:
         "cv_drift_ks": _ks_verdict_oracle(),
         "cv_incremental_drift": _incremental_drift_oracle(),
         "emb_knn_pq": _pq_oracle(),
+        "cv_metric_anomaly": _metric_anomaly_oracle(),
         "cv_drift_ks_by_stat": _ks_by_stat_oracle(),
         "doc_packing": _packing_oracle(),
         "doc_contamination": _contamination_oracle(),
