@@ -571,3 +571,40 @@ def test_build_and_split_states_cover_all_kinds(spark):
     assert sorted(kw["drift_state"]) == ["chi", "ks"]
     assert states["ks"].columns == ["__bin", "n"]
     assert states["chi"].columns == ["__cat", "n"]
+
+
+def test_schema_delta_and_verdict(spark):
+    """Schema evolution: adds/removes/retypes/nullability all surface;
+    the gate passes additive evolution, fails removals and any change
+    touching a spec-referenced column."""
+    from xsd2json_spark.engine.incremental import schema_delta, schema_delta_verdict
+
+    a = spark.createDataFrame([(1, "x", 1.0, "k")], "id long, s string, f double, extra string")
+    b_add = spark.createDataFrame([(1, "x", 1.0, "k", True)],
+                                  "id long, s string, f double, extra string, flag boolean")
+    b_rm = spark.createDataFrame([(1, "x", 1.0)], "id long, s string, f double")
+    b_retype = spark.createDataFrame([(1, "x", 1, "k")], "id long, s string, f int, extra string")
+
+    assert schema_delta(a, a) == []
+    assert schema_delta(a, b_add) == [
+        {"change": "added", "column": "flag", "prev": None, "cur": "boolean"}]
+    assert schema_delta(a, b_rm) == [
+        {"change": "removed", "column": "extra", "prev": "string", "cur": None}]
+    assert schema_delta(a, b_retype) == [
+        {"change": "type_changed", "column": "f", "prev": "double", "cur": "int"}]
+
+    spec = spec_from_dict({"name": "s", "key_columns": ["id"], "constraints": [
+        {"kind": "not_null", "id": "nn", "column": "s"},
+        {"kind": "range", "id": "r", "column": "f", "min": 0}]})
+    v_add, ch = schema_delta_verdict(a, b_add, spec)
+    assert v_add["passed"] and v_add["evaluated_count"] == 1 and len(ch) == 1
+    v_rm, _ = schema_delta_verdict(a, b_rm, spec)
+    assert not v_rm["passed"]  # removal not in the additive allow-list
+    # an ALLOWED kind still fails when the column is spec-referenced
+    b_retype_f = spark.createDataFrame([(1, "x", 1, "k")], "id long, s string, f int, extra string")
+    v_ref, _ = schema_delta_verdict(a, b_retype_f, spec, allow=("added", "type_changed"))
+    assert not v_ref["passed"]
+    # ... but a non-referenced column's allowed change passes
+    b_retype_extra = spark.createDataFrame([(1, "x", 1.0, 2)], "id long, s string, f double, extra int")
+    v_ok, _ = schema_delta_verdict(a, b_retype_extra, spec, allow=("added", "type_changed"))
+    assert v_ok["passed"]

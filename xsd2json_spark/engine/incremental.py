@@ -665,3 +665,66 @@ def split_states(spec: Spec, states: "dict[str, DataFrame]") -> dict:
         elif isinstance(c, Drift):
             kw["drift_state"][cid] = st
     return kw
+
+
+def schema_delta(prev_df: DataFrame, cur_df: DataFrame) -> "list[dict]":
+    """Schema evolution between two snapshots: one dict per change —
+    {"change": added|removed|type_changed|nullability_changed,
+    "column", "prev", "cur"}. Pure driver-side StructType comparison
+    (schemas are metadata; no data is scanned). Run it BEFORE
+    incremental_verdicts: a column-level change invalidates composed
+    states that reference the column, and silently composing across a
+    type change is exactly the failure mode a validation engine
+    exists to catch."""
+    prev = {f.name: f for f in prev_df.schema.fields}
+    cur = {f.name: f for f in cur_df.schema.fields}
+    out: "list[dict]" = []
+    for name in sorted(set(prev) | set(cur)):
+        p, c = prev.get(name), cur.get(name)
+        if p is None:
+            out.append({"change": "added", "column": name,
+                        "prev": None, "cur": c.dataType.simpleString()})
+        elif c is None:
+            out.append({"change": "removed", "column": name,
+                        "prev": p.dataType.simpleString(), "cur": None})
+        elif p.dataType != c.dataType:
+            out.append({"change": "type_changed", "column": name,
+                        "prev": p.dataType.simpleString(),
+                        "cur": c.dataType.simpleString()})
+        elif p.nullable != c.nullable:
+            out.append({"change": "nullability_changed", "column": name,
+                        "prev": str(p.nullable).lower(), "cur": str(c.nullable).lower()})
+    return out
+
+
+def schema_delta_verdict(
+    prev_df: DataFrame, cur_df: DataFrame, spec: Spec,
+    allow: ("tuple") = ("added",),
+) -> "tuple[dict, list[dict]]":
+    """Gate form: (verdict row dict, changes). The verdict fails on any
+    change kind not in ``allow`` (default: additive evolution passes,
+    removals/retypes fail), and ALWAYS fails when a changed column is
+    referenced by the spec (key column, constraint column/determinant/
+    group key) — those invalidate composed states and constraint
+    semantics regardless of policy."""
+    changes = schema_delta(prev_df, cur_df)
+    referenced = set(spec.key_columns)
+    for c in spec.constraints:
+        for attr in ("column", "dependent"):
+            v = getattr(c, attr, "")
+            if v:
+                referenced.add(v)
+        for attr in ("columns", "determinants", "group_by"):
+            referenced.update(getattr(c, attr, ()) or ())
+    bad = [
+        ch for ch in changes
+        if ch["change"] not in allow or ch["column"] in referenced
+    ]
+    verdict = {
+        "partition_key": "ALL",
+        "constraint_id": "__schema__",
+        "violation_count": len(bad),
+        "evaluated_count": len(changes),
+        "passed": not bad,
+    }
+    return verdict, changes
