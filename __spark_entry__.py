@@ -532,6 +532,53 @@ def _pq_codebooks(sf_dir: str):
     return S.train_pq(mat, m=PQ_M, k=PQ_K, seed=42)
 
 
+IVFPQ_NPROBE = 4
+
+
+def _ivfpq_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once/reuse IVF-PQ index: deterministic coarse centroids
+    (_ivf_centroids) + residual PQ codebooks (train_ivfpq over the
+    same vec_id-sorted sample) — both embed as oracle literals."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/ann_cache/v1_ivfpq_{tag}"
+    if not (
+        os.path.exists(os.path.join(path, "_SUCCESS"))
+        and os.path.exists(os.path.join(path, "_ann_meta.json"))
+    ):
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        ).to_pandas().sort_values("vec_id")
+        mat = np.array(tbl["embedding"].tolist(), dtype=np.float64)
+        cents = _ivf_centroids(sf_dir)
+        cb = S.train_ivfpq(mat, cents, m=PQ_M, k=PQ_K, seed=42)
+        S.build_ivfpq_index(_t(spark, sf_dir, "embeddings"), path, cents, cb)
+    return path
+
+
+def q_emb_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked IVF-PQ probe (new round 5 — the billion-scale
+    composition, FAISS IVFPQ shape): coarse centroids partition the
+    index, PQ encodes the residual v - centroid, and the query reads
+    ONLY the nprobe nearest lists' partitions (PartitionFilters,
+    asserted in pytest) scoring each row as <q, c_list> (a per-list
+    constant) + the shared residual-LUT fold over its 8 codes. DuckDB
+    replays the ENTIRE pipeline with literals: coarse struct-max
+    assignment, the residual via list_zip/list_transform, per-sub-space
+    residual encode on 1-based list slices, the LUT join, the per-list
+    constant, and the rounded-score top-k over the probe set."""
+    idx = _ivfpq_index_path(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    out = S.ivfpq_topk(spark, idx, qvec, k=10, nprobe=IVFPQ_NPROBE, round_to=6)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def q_emb_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-checked product-quantization ANN (new round 5 — the
     compressed-domain scale path past IVF/LSH, Jégou et al. 2011):
@@ -1723,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cv_incremental_drift": q_cv_incremental_drift,
         "emb_knn_pq": q_emb_knn_pq,
         "cv_metric_anomaly": q_cv_metric_anomaly,
+        "emb_knn_ivfpq": q_emb_knn_ivfpq,
         # Oracle-able but redundant witnesses (spilled by the 50-row
         # cap; replayable any time via tools/check_oracle.py):
         # cv_drift_ks_by_stat / cv_drift_chi2_by_stat run the same
@@ -1918,6 +1966,82 @@ def _pq_oracle() -> str:
             SELECT a.vec_id, round(sum(l.l::DOUBLE), 6) AS s6
             FROM a JOIN lut l ON l.j = a.j AND l.c = a.code
             GROUP BY a.vec_id
+        )
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, round(s6, 4) AS score
+        FROM s ORDER BY s6 DESC, vec_id LIMIT 10
+    """
+
+
+def _ivfpq_oracle() -> str:
+    """DuckDB replay of the IVF-PQ probe: coarse centroids, residual
+    codebooks, the query LUT and per-list constants all as literals;
+    residual = list_transform(list_zip(v, c), x -> x[1]-x[2]); encode
+    = struct-max argmax per sub-space on the 1-based residual slice;
+    score = <q, c_list> + LUT sum over the probe set only; ranking on
+    the rounded score + vec_id like ivfpq_topk(round_to=6)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.01"
+    cents = _ivf_centroids(sf)
+    tbl = pq.read_table(
+        os.path.join(sf, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).to_pandas().sort_values("vec_id")
+    mat = np.array(tbl["embedding"].tolist(), dtype=np.float64)
+    cb = S.train_ivfpq(mat, cents, m=PQ_M, k=PQ_K, seed=42)
+    m, k, sub = cb.shape
+    q = np.array(tbl.loc[tbl.vec_id == 0, "embedding"].iloc[0], dtype=np.float64)
+    d2 = ((cents - q) ** 2).sum(axis=1)
+    probes = sorted(int(j) for j in np.argsort(d2)[:IVFPQ_NPROBE])
+    lut = np.einsum("mkd,md->mk", cb, q.reshape(m, sub))
+    cents_vals = ", ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[], "
+        f"{repr(float(np.dot(c, c)))}, {repr(float(np.dot(q, c)))})"
+        for j, c in enumerate(cents)
+    )
+    cb_vals = ", ".join(
+        f"({j}, {c}, [{', '.join(repr(float(x)) for x in cb[j][c])}]::DOUBLE[], "
+        f"{repr(float(np.dot(cb[j][c], cb[j][c])))})"
+        for j in range(m) for c in range(k)
+    )
+    lut_vals = ", ".join(
+        f"({j}, {c}, {repr(float(lut[j][c]))})" for j in range(m) for c in range(k)
+    )
+    probe_list = ", ".join(str(j) for j in probes)
+    return f"""
+        WITH cents(j, c, n2, qc) AS (VALUES {cents_vals}),
+        cb(j, cc, v, n2) AS (VALUES {cb_vals}),
+        lut(j, cc, l) AS (VALUES {lut_vals}),
+        a AS (
+            SELECT e.vec_id, e.embedding,
+                   (max(struct_pack(
+                        s := 2.0 * list_dot_product(e.embedding::DOUBLE[], ct.c) - ct.n2,
+                        j := ct.j))).j AS lid
+            FROM embeddings e CROSS JOIN cents ct
+            GROUP BY e.vec_id, e.embedding
+        ),
+        r AS (
+            SELECT a.vec_id, a.lid, ct.qc,
+                   list_transform(list_zip(a.embedding::DOUBLE[], ct.c),
+                                  x -> x[1] - x[2]) AS res
+            FROM a JOIN cents ct ON ct.j = a.lid
+            WHERE a.lid IN ({probe_list})
+        ),
+        enc AS (
+            SELECT r.vec_id, any_value(r.qc) AS qc, cb.j,
+                   (max(struct_pack(
+                        s := 2.0 * list_dot_product(
+                                 (r.res)[cb.j * {sub} + 1 : (cb.j + 1) * {sub}], cb.v)
+                             - cb.n2,
+                        c := cb.cc))).c AS code
+            FROM r CROSS JOIN cb
+            GROUP BY r.vec_id, cb.j
+        ),
+        s AS (
+            SELECT enc.vec_id,
+                   round(any_value(enc.qc) + sum(l.l::DOUBLE), 6) AS s6
+            FROM enc JOIN lut l ON l.j = enc.j AND l.cc = enc.code
+            GROUP BY enc.vec_id
         )
         SELECT CAST(vec_id AS BIGINT) AS vec_id, round(s6, 4) AS score
         FROM s ORDER BY s6 DESC, vec_id LIMIT 10
@@ -2622,6 +2746,7 @@ def oracle_sql() -> dict[str, str]:
         "cv_incremental_drift": _incremental_drift_oracle(),
         "emb_knn_pq": _pq_oracle(),
         "cv_metric_anomaly": _metric_anomaly_oracle(),
+        "emb_knn_ivfpq": _ivfpq_oracle(),
         "cv_drift_ks_by_stat": _ks_by_stat_oracle(),
         "doc_packing": _packing_oracle(),
         "doc_contamination": _contamination_oracle(),

@@ -209,3 +209,63 @@ def test_pq_validates_shapes():
     cb = S.train_pq(np.random.RandomState(0).randn(100, 16), m=4, k=8)
     with pytest.raises(ValueError, match="query dim"):
         S.pq_topk(None, [0.0] * 10, cb)
+
+
+def test_ivfpq_index_probe_recall_and_pruning(spark, emb, pq_mat, query, tmp_path):
+    """IVF-PQ: partition-pruned probe (PartitionFilters on list_id),
+    ADC recall against brute cosine, exact-cosine re-rank equality on
+    shared ids, and the ADC score decomposition <q,c_list> + LUT sum
+    verified row-by-row."""
+    import re
+
+    cents = S.kmeans_numpy(pq_mat, n_centroids=8, seed=42)
+    cb = S.train_ivfpq(pq_mat, cents, m=8, k=16)
+    path = str(tmp_path / "ivfpq")
+    meta = S.build_ivfpq_index(emb, path, cents, cb)
+    assert meta["kind"] == "ivfpq"
+
+    top = S.ivfpq_topk(spark, path, query, k=10, nprobe=4)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "list_id" in pf.group(1)  # probe reads only its lists
+
+    brute = {r[0] for r in _numpy_topk(emb, query, k=10)}
+    adc50 = {r["vec_id"] for r in S.ivfpq_topk(spark, path, query, k=50, nprobe=4).collect()}
+    assert len(brute & adc50) >= 6
+
+    rr = {r["vec_id"]: r["score"] for r in
+          S.ivfpq_topk(spark, path, query, k=10, nprobe=4, rerank=50).collect()}
+    bmap = dict(_numpy_topk(emb, query, k=10))
+    for vid in set(bmap) & set(rr):
+        assert abs(rr[vid] - bmap[vid]) < 1e-4
+
+    # score decomposition: ADC score == <q, c_list> + sum lut[j][code_j]
+    import numpy as np
+    q = np.asarray(query, dtype=np.float64)
+    m, _k, sub = cb.shape
+    lut = np.einsum("mkd,md->mk", cb, q.reshape(m, sub))
+    rows = spark.read.parquet(path).collect()
+    got = {r["vec_id"]: r["score"] for r in S.ivfpq_topk(spark, path, query, k=15, nprobe=8).collect()}
+    by_id = {r["vec_id"]: r for r in rows}
+    for vid, s in got.items():
+        r = by_id[vid]
+        want = float(np.dot(q, cents[r["list_id"]])) + float(
+            sum(lut[j][r["pq_code"][j]] for j in range(m)))
+        assert abs(s - want) < 1e-9, vid
+
+    with pytest.raises(ValueError, match="not an ivfpq index"):
+        lsh_path = str(tmp_path / "lsh")
+        S.build_ann_index(emb, lsh_path, kind="lsh")
+        S.ivfpq_topk(spark, lsh_path, query)
+
+
+def test_ivfpq_rerank_requires_vectors(spark, emb, pq_mat, query, tmp_path):
+    cents = S.kmeans_numpy(pq_mat, n_centroids=8, seed=42)
+    cb = S.train_ivfpq(pq_mat, cents, m=8, k=16)
+    path = str(tmp_path / "ivfpq_nv")
+    S.build_ivfpq_index(emb, path, cents, cb, keep_vectors=False)
+    # codes-only index still answers ADC queries...
+    assert len(S.ivfpq_topk(spark, path, query, k=5, nprobe=4).collect()) == 5
+    # ...but refuses exact re-rank
+    with pytest.raises(ValueError, match="keep_vectors"):
+        S.ivfpq_topk(spark, path, query, k=5, nprobe=4, rerank=20)

@@ -486,3 +486,136 @@ def pq_topk_rerank(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the billion-scale composition (FAISS IVFPQ shape, public):
+# coarse quantizer partitions the table into inverted lists, PQ encodes
+# the RESIDUAL v - centroid. With inner-product scoring the residual
+# decomposes as <q, v> ~ <q, c_list> + sum_j lut[j][code_j], so the
+# query-side LUT is shared by every list (codebooks are global) and
+# each probed list only contributes a scalar constant.
+# ---------------------------------------------------------------------------
+
+
+def train_ivfpq(
+    mat: np.ndarray, coarse_cents: np.ndarray, m: int = 8, k: int = 16, seed: int = 42
+) -> np.ndarray:
+    """PQ codebooks over coarse-assignment RESIDUALS of a sample:
+    assign each row to its nearest coarse centroid (the same
+    argmax 2 v.c - |c|^2 rule), subtract, train_pq the residuals.
+    Deterministic for a deterministic sample (the oracle trick)."""
+    mat = np.asarray(mat, dtype=np.float64)
+    c = np.asarray(coarse_cents, dtype=np.float64)
+    scores = 2.0 * (mat @ c.T) - (c * c).sum(axis=1)
+    residuals = mat - c[scores.argmax(axis=1)]
+    return train_pq(residuals, m=m, k=k, seed=seed)
+
+
+def _residual_expr(vec_col: Column, cents: np.ndarray, list_col: Column) -> Column:
+    """v - centroid[list_id], in-plan: the centroid matrix embeds as a
+    nested array literal indexed by the row's list id."""
+    cents_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    return F.zip_with(
+        vec_col, F.element_at(cents_lit, list_col.cast("int") + 1),
+        lambda x, y: x.cast("double") - y,
+    )
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    coarse_cents: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vectors: bool = True,
+) -> dict:
+    """One pass over the table: coarse-assign, residual PQ-encode,
+    write partitioned by list_id (partition-pruned probes) with the
+    codes and — when ``keep_vectors`` — the raw vector for exact
+    re-rank. Coarse centroids + codebooks persist in the same
+    _ann_meta.json sidecar the LSH/IVF indexes use."""
+    cents = np.asarray(coarse_cents, dtype=np.float64)
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, _k, sub = cb.shape
+    lid = assign_centroid(F.col(vec_col), cents)
+    out = df.withColumn("list_id", lid)
+    res = _residual_expr(F.col(vec_col), cents, F.col("list_id"))
+    codes = [
+        assign_centroid(F.slice(res, j * sub + 1, sub), cb[j]) for j in range(m)
+    ]
+    out = out.withColumn("pq_code", F.array(*codes))
+    cols = [id_col, "pq_code", "list_id"] + ([vec_col] if keep_vectors else [])
+    out = out.select(*cols)
+    out.repartition("list_id").write.mode("overwrite").partitionBy("list_id").parquet(path)
+    meta = {
+        "kind": "ivfpq", "id_col": id_col, "vec_col": vec_col,
+        "dim": int(cents.shape[1]), "centroids": cents.tolist(),
+        "codebooks": cb.tolist(), "keep_vectors": keep_vectors,
+    }
+    fsutil.write_text(df.sparkSession, path.rstrip("/") + "/" + META_FILE, json.dumps(meta))
+    return meta
+
+
+def ivfpq_topk(
+    spark: SparkSession,
+    index_path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int = 0,
+    round_to: "int | None" = None,
+) -> DataFrame:
+    """Partition-pruned IVF-PQ probe: the nprobe nearest lists are
+    chosen driver-side, their partitions are the ONLY ones read, and
+    each row's approximate score is <q, c_list> (a per-list literal,
+    folded in via a bounded CASE over the probe set) + the shared PQ
+    LUT fold over its residual codes — pure expressions end-to-end,
+    TakeOrderedAndProject for the top-k. ``rerank`` > 0 re-orders that
+    ADC shortlist by exact cosine against the stored vectors (the
+    shortlist is broadcast-sized). At warehouse scale the probe reads
+    nprobe/n_lists of the CODES (m bytes/vector), which is the only
+    index shape that stays IO-sane at 10^9+ vectors."""
+    meta = _load_meta(spark, index_path)
+    if meta.get("kind") != "ivfpq":
+        raise ValueError(f"not an ivfpq index: {meta.get('kind')!r}")
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    cb = np.asarray(meta["codebooks"], dtype=np.float64)
+    m, _kk, sub = cb.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((cents - q) ** 2).sum(axis=1)
+    probes = [int(j) for j in np.argsort(d2)[:nprobe]]
+    lut = np.einsum("mkd,md->mk", cb, q.reshape(m, sub))
+    lut_lit = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in lut])
+    const = None
+    for j in probes:
+        c = F.when(F.col("list_id") == j, F.lit(float(np.dot(q, cents[j]))))
+        const = c if const is None else const.when(F.col("list_id") == j, F.lit(float(np.dot(q, cents[j]))))
+    score = const + F.aggregate(
+        F.zip_with(F.col("pq_code"), lut_lit, lambda c_, row: F.element_at(row, c_.cast("int") + 1)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    if round_to is not None:
+        score = F.round(score, round_to)
+    df = spark.read.parquet(index_path).filter(F.col("list_id").isin(probes))
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    short = (
+        df.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(max(k, rerank))
+    )
+    if not rerank:
+        return short.limit(k)
+    if not meta.get("keep_vectors"):
+        raise ValueError("rerank needs keep_vectors=True at index build")
+    qv = _lit_vec(query_vec)
+    return (
+        spark.read.parquet(index_path)
+        .filter(F.col("list_id").isin(probes))
+        .join(F.broadcast(short.select(id_col)), id_col, "left_semi")
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), qv), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
