@@ -443,9 +443,24 @@ def q_cv_composite_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _qvec(sf_dir: str) -> list:
+    """Query vector (vec_id == 0) via a driver-side pyarrow predicate
+    read — the same floats the old emb.filter(vec_id == 0).collect()
+    job produced (float32 -> Python float either way), without paying a
+    full Spark job + parquet scan per probe. The probe input is
+    metadata, exactly like _ivf_centroids' pyarrow read."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["embedding"], filters=[("vec_id", "==", 0)],
+    )
+    return [float(x) for x in tbl["embedding"][0].as_py()]
+
+
 def q_emb_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    qvec = _qvec(sf_dir)
     return S.cosine_topk(emb, qvec, k=10).select(
         F.col("vec_id").cast("long").alias("vec_id"), F.round("score", 4).alias("score")
     )
@@ -455,7 +470,7 @@ def q_emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-checked: the hyperplanes are deterministic, so DuckDB
     replays the bucket bits + multi-probe + cosine top-k exactly."""
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    qvec = _qvec(sf_dir)
     return S.lsh_topk(emb, qvec, k=10, n_planes=8).select(
         F.col("vec_id").cast("long").alias("vec_id"), F.round("score", 4).alias("score")
     )
@@ -506,7 +521,7 @@ def q_emb_knn_lsh_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe of a persisted bucket-partitioned index — the query reads only
     its probe buckets and must return exactly the full-scan rows."""
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    qvec = _qvec(sf_dir)
     idx = _ann_index_path(spark, sf_dir, "lsh")
     return S.lsh_topk_indexed(spark, idx, qvec, k=10, multi_probe=1).select(
         F.col("vec_id").cast("long").alias("vec_id"), F.round("score", 4).alias("score")
@@ -571,7 +586,7 @@ def q_emb_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant, and the rounded-score top-k over the probe set."""
     idx = _ivfpq_index_path(spark, sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    qvec = _qvec(sf_dir)
     out = S.ivfpq_topk(spark, idx, qvec, k=10, nprobe=IVFPQ_NPROBE, round_to=6)
     return out.select(
         F.col("vec_id").cast("long").alias("vec_id"),
@@ -593,7 +608,7 @@ def q_emb_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist is pq_topk_rerank (recall-tested in pytest)."""
     cb = _pq_codebooks(sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    qvec = _qvec(sf_dir)
     codes = S.pq_encode(emb, cb)
     out = S.pq_topk(codes, qvec, cb, k=10, round_to=6)
     return out.select(
@@ -610,7 +625,7 @@ def q_emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the persisted inverted-file index; centroid assignment
     auto-dispatches to an Arrow pandas_udf when k x dim is large."""
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    qvec = _qvec(sf_dir)
     idx = _ann_index_path(spark, sf_dir, "ivf")
     return S.ivf_topk_indexed(spark, idx, qvec, k=10, nprobe=IVF_NPROBE).select(
         F.col("vec_id").cast("long").alias("vec_id"), F.round("score", 4).alias("score")

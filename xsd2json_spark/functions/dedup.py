@@ -664,6 +664,67 @@ def _cosine_arrow(a_col: Column, b_col: Column, dim: int) -> Column:
     return _cos.asNondeterministic()(a_col, b_col)
 
 
+#: prefilter slack for the in-bucket BLAS cosine: the exact verify keeps
+#: pairs with round(cos, 6) >= threshold, i.e. true cos >= threshold -
+#: 5e-7; BLAS matmul vs elementwise-sum drift is ~1e-15 relative, so a
+#: 1e-5 margin makes a prefilter false negative impossible while still
+#: discarding ~all below-threshold candidates before they exist as rows
+_EMB_PREFILTER_MARGIN = 1e-5
+#: row-block size for the in-bucket pairwise cosine: bounds the scratch
+#: matmul block at B*B doubles (~128 MB at 4096) however hot the bucket
+_EMB_PAIR_BLOCK = 4096
+
+
+def _bucket_pair_prefilter(dim: int, min_cos: float, id_dtype: str):
+    """applyInPandas kernel for one (band, bucket) group: BLAS pairwise
+    cosine over the group's vectors, emitting only (id_a, id_b) pairs
+    with cosine >= min_cos (id_a < id_b). Blocked so a degenerate hot
+    bucket costs bounded memory (time stays O(b^2) — that is the
+    declared semantics of an LSH candidate bucket)."""
+    import numpy as np
+
+    def prefilter(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf["__vec"].tolist()
+        bad = [i for i, x in enumerate(vals) if x is None or len(x) != dim]
+        if bad:
+            raise ValueError(
+                f"embedding_near_dups: {len(bad)} null/ragged embedding rows "
+                f"(expected dim {dim}); first bad batch index {bad[0]}"
+            )
+        ids = pdf["__id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
+        m = np.array(vals, dtype=np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        out_a, out_b = [], []
+        B = _EMB_PAIR_BLOCK
+        for i0 in range(0, n, B):
+            mi, ni = m[i0:i0 + B], norms[i0:i0 + B]
+            for j0 in range(i0, n, B):
+                mj, nj = m[j0:j0 + B], norms[j0:j0 + B]
+                num = mi @ mj.T
+                den = np.outer(ni, nj)
+                cos = np.divide(num, den, out=np.zeros_like(num), where=den > 0)
+                keep = cos >= min_cos
+                if i0 == j0:
+                    keep &= np.triu(np.ones_like(keep, dtype=bool), k=1)
+                ii, jj = np.nonzero(keep)
+                if len(ii):
+                    ia, jb = ids[i0 + ii], ids[j0 + jj]
+                    ne = ia != jb  # l.__id < r.__id excludes duplicate-id pairs
+                    ia, jb = ia[ne], jb[ne]
+                    out_a.append(np.minimum(ia, jb))
+                    out_b.append(np.maximum(ia, jb))
+        if not out_a:
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    return prefilter, f"id_a {id_dtype}, id_b {id_dtype}"
+
+
 def embedding_near_dups(
     df: DataFrame,
     dim: int,
@@ -712,29 +773,52 @@ def embedding_near_dups(
     if use_arrow is None:
         use_arrow = n_bands * planes_per_band * dim > EMB_ARROW_THRESHOLD
     if use_arrow:
+        # Scale path (round 6): the old shape self-joined the (id, band,
+        # bucket) keying and verified every colliding pair — with coarse
+        # buckets (16 per band here) ~40% of ALL pairs collide, so the
+        # join output, its dropDuplicates shuffle, and the per-pair
+        # verify grow O(n^2) in ROWS (measured 231 s at 20k vectors).
+        # Now the group's vectors meet inside one applyInPandas kernel
+        # per (band, bucket): a blocked BLAS matmul computes the same
+        # pairwise cosines in the compressed matrix domain and only
+        # pairs already >= threshold - margin ever BECOME rows. The
+        # shuffle is one pass of (id, band, bucket, vec) — n_bands
+        # copies of the table, ~90 MB at 20k x 64 — and the exact
+        # _cosine_arrow verify (bit-identical arithmetic to the old
+        # plan) runs on the surviving handful only.
         keyed = df.select(
-            F.col(id_col).alias("__id"), _band_buckets_arrow(F.col(vec_col), planes).alias("__bks")
-        ).select("__id", F.posexplode("__bks").alias("__band", "__bucket"))
+            F.col(id_col).alias("__id"), _band_buckets_arrow(F.col(vec_col), planes).alias("__bks"),
+            F.col(vec_col).alias("__vec"),
+        ).select("__id", F.posexplode("__bks").alias("__band", "__bucket"), "__vec")
+        id_dtype = df.schema[id_col].dataType.simpleString()
+        prefilter, pair_schema = _bucket_pair_prefilter(
+            dim, threshold - _EMB_PREFILTER_MARGIN, id_dtype
+        )
+        cand = (
+            keyed.groupBy("__band", "__bucket")
+            .applyInPandas(prefilter, pair_schema)
+            .dropDuplicates(["id_a", "id_b"])
+        )
     else:
         bands = F.expr(_sql_band_structs(f"`{vec_col}`", planes))
         keyed = df.select(F.col(id_col).alias("__id"), F.explode(bands).alias("__bb")).select(
             "__id", F.col("__bb.band").alias("__band"), F.col("__bb.bucket").alias("__bucket")
         )
-    if cache_base:
-        keyed = keyed.persist()
-    left, right = keyed.alias("l"), keyed.alias("r")
-    cand = (
-        left.join(
-            right,
-            on=[
-                F.col("l.__band") == F.col("r.__band"),
-                F.col("l.__bucket") == F.col("r.__bucket"),
-                F.col("l.__id") < F.col("r.__id"),
-            ],
+        if cache_base:
+            keyed = keyed.persist()
+        left, right = keyed.alias("l"), keyed.alias("r")
+        cand = (
+            left.join(
+                right,
+                on=[
+                    F.col("l.__band") == F.col("r.__band"),
+                    F.col("l.__bucket") == F.col("r.__bucket"),
+                    F.col("l.__id") < F.col("r.__id"),
+                ],
+            )
+            .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
         )
-        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     cos = (

@@ -48,6 +48,37 @@ def _lit_vec(vec: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
+def _lit_sql(vec: Sequence[float]) -> str:
+    return "array(" + ",".join(f"{float(x)!r}D" for x in vec) + ")"
+
+
+def _fold_dot_sql(vec_sql: str, vec: Sequence[float]) -> str:
+    """dot(col, literal) as ONE compact SQL string — the same
+    aggregate/zip_with fold the Column form builds (identical tree
+    after parse, so identical arithmetic), but one F.expr parse
+    instead of len(vec) py4j F.lit round-trips (~1 ms each — measured
+    ~1 s of pure DRIVER time per 8x64-plane bucket build)."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_lit_sql(vec)}, "
+        f"(x, y) -> double(x) * double(y)), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _norm_sql(vec_sql: str) -> str:
+    return f"sqrt(aggregate({vec_sql}, 0.0D, (acc, v) -> acc + double(v) * double(v)))"
+
+
+def cosine_lit(vec_col: str, query_vec: Sequence[float]) -> Column:
+    """cosine(col, literal query vector) via the one-parse SQL fast
+    path; expression-identical to cosine(F.col(vec_col), _lit_vec(q))."""
+    v = f"`{vec_col}`"
+    nq = _norm_sql(_lit_sql(query_vec))  # constant-folded at plan time
+    return F.expr(
+        f"coalesce(try_divide({_fold_dot_sql(v, query_vec)}, "
+        f"{_norm_sql(v)} * {nq}), 0.0D)"
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")), F.lit(0.0), lambda acc, v: acc + v)
 
@@ -68,8 +99,7 @@ def cosine_topk(
     """Brute-force cosine top-k against a literal query vector.
     One scan; Catalyst turns orderBy+limit into TakeOrderedAndProject
     (per-partition heaps, no global sort)."""
-    q = _lit_vec(query_vec)
-    scored = df.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+    scored = df.select(F.col(id_col), F.round(cosine_lit(vec_col, query_vec), 6).alias("score"))
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
@@ -83,8 +113,19 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
-def lsh_bucket(vec_col: Column, planes: np.ndarray) -> Column:
-    """Sign-bit bucket id: bit j = 1 iff vec . plane_j > 0."""
+def lsh_bucket(vec_col, planes: np.ndarray) -> Column:
+    """Sign-bit bucket id: bit j = 1 iff vec . plane_j > 0. Pass a
+    column NAME (str) for the one-parse F.expr fast path (same fold
+    dots, no py4j literal tree)."""
+    if isinstance(vec_col, str):
+        v = f"`{vec_col}`"
+        terms = "CAST(0 AS BIGINT)"
+        for j, plane in enumerate(planes):
+            terms += (
+                f" + (CASE WHEN {_fold_dot_sql(v, plane)} > 0.0D "
+                f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            )
+        return F.expr(terms)
     bucket = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
         bucket = bucket + F.when(dot(vec_col, _lit_vec(plane)) > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
@@ -120,11 +161,10 @@ def lsh_topk(
     probe that skips the scan entirely."""
     planes = hyperplanes(len(query_vec), n_planes, seed)
     probe = lsh_probe_set(query_vec, planes, multi_probe)
-    bucketed = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+    bucketed = df.withColumn("__bucket", lsh_bucket(vec_col, planes))
     cand = bucketed.filter(F.col("__bucket").isin(*[int(b) for b in probe]))
-    q = _lit_vec(query_vec)
     return (
-        cand.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+        cand.select(F.col(id_col), F.round(cosine_lit(vec_col, query_vec), 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
@@ -252,9 +292,8 @@ def ivf_topk(
     probe = [int(j) for j in np.argsort(d2)[:nprobe]]
     assigned = df.withColumn("__c", assign_centroid(F.col(vec_col), cents))
     cand = assigned.filter(F.col("__c").isin(probe))
-    q = _lit_vec(query_vec)
     return (
-        cand.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+        cand.select(F.col(id_col), F.round(cosine_lit(vec_col, query_vec), 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
@@ -292,7 +331,7 @@ def build_ann_index(
     if kind == "lsh":
         planes = hyperplanes(dim, n_planes, seed)
         meta["planes"] = planes.tolist()
-        out = df.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+        out = df.withColumn("bucket", lsh_bucket(vec_col, planes))
         part_col = "bucket"
     elif kind == "ivf":
         if centroids is not None:
@@ -331,10 +370,9 @@ def lsh_topk_indexed(
     probe = lsh_probe_set(query_vec, planes, multi_probe)
     df = spark.read.parquet(index_path)
     cand = df.filter(F.col("bucket").isin(*[int(b) for b in probe]))
-    q = _lit_vec(query_vec)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     return (
-        cand.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+        cand.select(F.col(id_col), F.round(cosine_lit(vec_col, query_vec), 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
@@ -357,10 +395,9 @@ def ivf_topk_indexed(
     probe = [int(j) for j in np.argsort(d2)[:nprobe]]
     df = spark.read.parquet(index_path)
     cand = df.filter(F.col("list_id").isin(probe))
-    q = _lit_vec(query_vec)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     return (
-        cand.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+        cand.select(F.col(id_col), F.round(cosine_lit(vec_col, query_vec), 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
