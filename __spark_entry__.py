@@ -48,6 +48,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's core count before a
+    per-row-heavy kernel (regex, shingling, JSON parse). The bench
+    tables are single parquet files with 1-6 row groups and parquet
+    cannot split below a row group, so without this the scan AND every
+    narrow transform chained on it run on 1-6 of the N cores. Used only
+    where the downstream per-row work dwarfs the one extra exchange
+    (measured per query; aggregation-first queries keep their own
+    exchange as the spread point). Results are row-order independent."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 DOC_SPEC = {
     "name": "documents_v1",
     "key_columns": ["doc_id"],
@@ -108,8 +120,13 @@ def q_cv_unique_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """unique(o_custkey, o_orderdate): duplicate groups (salted two-stage
     agg under the hood when configured)."""
     orders = _t(spark, sf_dir, "orders")
+    # repartition on the key first (the cv_fd/top_revenue shape): the
+    # ~1.4M-group partial aggregation otherwise runs inside the 2
+    # row-group-bound scan tasks (measured 0.9 s -> 0.55 s at sf1.0)
     return (
-        orders.groupBy("o_custkey", "o_orderdate")
+        orders.select("o_custkey", "o_orderdate")
+        .repartition("o_custkey", "o_orderdate")
+        .groupBy("o_custkey", "o_orderdate")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
         .select(
@@ -149,7 +166,10 @@ def q_cv_dtype_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer k (convert_xsd_type analog on a derived column)."""
     events = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k")
-    return events.select(
+    # project the two needed columns, THEN spread: the JSON parse is
+    # ~2 s single-core on the 1-row-group events file (measured), and
+    # the exchange ships only (event_id, props)
+    return _spread(events.select("event_id", "props")).select(
         F.col("event_id").cast("long").alias("event_id"),
         (k.try_cast("long").isNotNull() | k.isNull()).alias("k_is_integer"),
     )
@@ -179,6 +199,11 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
+    # NOTE round 6: tried the cv_fd/cv_unique repartition-before-agg
+    # shape here; the agg alone improved (1.0 -> 0.73 s) but the full
+    # query got ~0.1 s SLOWER in an interleaved A/B — the extra
+    # exchange stage outweighs the partial-agg saving once the
+    # downstream joins reuse the agg's own exchange. Kept as-is.
     rev = li.groupBy("l_orderkey").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
     )
@@ -219,7 +244,7 @@ def q_events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     c = F.col("text")
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -274,9 +299,9 @@ def q_doc_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     join -> exact-Jaccard verify (see _minhash_oracle). Restricted to
     the first 300 docs to bound the candidate join in the correctness
     run. The production xxhash64 kernel is q_doc_minhash_dups_xx."""
-    docs = _t(spark, sf_dir, "documents").filter(
+    docs = _spread(_t(spark, sf_dir, "documents").filter(
         (F.col("doc_id") < 300) & F.col("text").isNotNull()
-    )
+    ))
     return D.minhash_lsh_pairs(
         docs, "doc_id", "text", threshold=0.5, family="md5", hashed_bands=False
     ).select(
@@ -289,7 +314,7 @@ def q_doc_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_minhash_dups_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """No oracle (xxhash64 signatures + hashed band keys — the
     production path; planted-dup recall golden in test_dedup)."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    docs = _spread(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
     return D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
@@ -342,7 +367,7 @@ def q_doc_simhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-signal ratios (POSIX punct class matches Java \\p{Punct})."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     c = F.col("text")
     n = F.length(c)
     alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
@@ -853,9 +878,9 @@ def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     via explode -> two-stage count agg -> rank window over the counted
     vocabulary (not the corpus). The drill-down companion to
     doc_token_stats."""
-    docs = _t(spark, sf_dir, "documents").filter(
+    docs = _spread(_t(spark, sf_dir, "documents").filter(
         F.col("lang").isNotNull() & F.col("text").isNotNull()
-    )
+    ))
     out = T.top_terms(docs, "text", k=5, group_by=["lang"])
     return out.select(
         "lang",
