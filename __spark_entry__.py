@@ -263,7 +263,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return D.exact_duplicates(docs, "doc_id", "text").select(
         "fingerprint", F.col("n_docs").cast("long").alias("n_docs")
     )
@@ -271,7 +271,7 @@ def q_doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """No oracle (heuristic argmax not cleanly SQL-expressible)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         T.detect_lang(F.col("text")).alias("lang_detected"),
@@ -285,7 +285,7 @@ def q_doc_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct-max tie-break. DuckDB replays the profile as a literal
     (gram, lang, weight) table (see _langid_ngram_oracle); accuracy is
     pinned separately by the 128-doc held-out corpus test."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = _spread(_t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()))
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         T.detect_lang_ngram("text").alias("lang_detected"),
@@ -340,6 +340,9 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """No oracle (xxhash64 bit votes). Near-dup pairs via prefix-bit
     blocking + in-block Hamming verify — the production simhash path."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    # NOT spread: the simhash expression tree broadcasts a ~4 MB task
+    # binary, so 32 tasks of 10 docs pay more in per-task setup than
+    # the kernel saves (measured 6.9 s -> 10.9 s with spread)
     return D.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=16, prefix_bits=8).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
@@ -380,7 +383,7 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.round(T.stopword_ratio(F.col("text"), "en"), 4).alias("stopword_ratio"),
@@ -841,7 +844,7 @@ def q_doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     merges = BP.train_bpe(docs, "text", num_merges=BPE_MERGES)
-    return docs.select(
+    return _spread(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.size(BP.bpe_tokens(F.col("text"), merges)).cast("long").alias("n_bpe_tokens"),
     )
@@ -1237,8 +1240,8 @@ def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     bucket = SP.hash_bucket(["doc_id"], seed=11, family="md5")
-    eval_df = docs.filter(bucket < 30_000)
-    train = docs.filter(bucket >= 30_000)
+    eval_df = _spread(docs.filter(bucket < 30_000))
+    train = _spread(docs.filter(bucket >= 30_000))
     out = D.ngram_contamination(train, eval_df, "doc_id", "text", n=5, hashed=False)
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -1264,12 +1267,21 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat("text", F.lit("\n"), "text").alias("text"),
         )
     )
-    return cur.select(
+    spread = _spread(cur)
+    dup = spread.select(
         "scenario",
         F.col("doc_id").cast("long").alias("doc_id"),
         T.duplicate_line_ratio(F.col("text")).alias("dup_line_ratio"),
-        T.top_ngram_ratio(F.col("text"), 2).alias("top_bigram_ratio"),
     )
+    # the bigram share comes from the DataFrame-level explode+count
+    # formulation — value-identical to the Column fold, whole-stage
+    # codegen'd (see top_ngram_ratio_over; the fold was 10.6 s of this
+    # query's 11.5 s at sf1.0)
+    top = T.top_ngram_ratio_over(
+        spread.select("scenario", F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        ["scenario", "doc_id"], "text", n=2, out_col="top_bigram_ratio",
+    )
+    return dup.join(top, ["scenario", "doc_id"])
 
 
 def q_doc_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1290,7 +1302,7 @@ def q_doc_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     flags = T.quality_flags(F.col("text"))
-    return cur.select(
+    return _spread(cur).select(
         "scenario",
         F.col("doc_id").cast("long").alias("doc_id"),
         flags["word_count_ok"].alias("word_count_ok"),
@@ -1347,7 +1359,7 @@ def q_doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the redacted text exactly."""
     from xsd2json_spark.functions import pii as P
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = _spread(_t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()))
     injected = docs.select(
         "doc_id",
         F.concat(

@@ -243,3 +243,30 @@ def test_quality_flags_rules(spark):
     assert not got[3]["symbol_ratio_ok"] and got[3]["word_count_ok"]
     assert not got[4]["dup_lines_ok"] and got[4]["symbol_ratio_ok"]
     assert not got[5]["mean_word_len_ok"]
+
+
+def test_top_ngram_ratio_over_equals_column_form(spark):
+    """The DataFrame-level explode+count formulation (round-6 rewrite of
+    the doc_repetition hot path) must equal the Column fold row-for-row,
+    including the edge rows: repeated grams, all-distinct grams, fewer
+    than n tokens (-> 0.0), empty string (-> 0.0), and NULL text
+    (-> NULL on both sides)."""
+    rows = [
+        (1, "a b a b a b"),            # 'a b' run dominates
+        (2, "one two three four"),     # all bigrams distinct
+        (3, "single"),                 # < n tokens
+        (4, ""),                       # empty
+        (5, None),                     # NULL text
+        (6, "x x x x x x x x"),        # one gram only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    col_form = {
+        r["doc_id"]: r["r"]
+        for r in df.select("doc_id", T.top_ngram_ratio(F.col("text"), 2).alias("r")).collect()
+    }
+    df_form = {
+        r["doc_id"]: r["r"]
+        for r in T.top_ngram_ratio_over(df, ["doc_id"], "text", n=2, out_col="r").collect()
+    }
+    assert col_form == df_form
+    assert df_form[5] is None and df_form[3] == 0.0
