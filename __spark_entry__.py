@@ -332,7 +332,7 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        D.simhash_md5(F.col("text"), num_bits=32).alias("simhash32"),
+        D.simhash_md5("text", num_bits=32).alias("simhash32"),
     )
 
 

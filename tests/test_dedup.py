@@ -333,3 +333,18 @@ def test_ngram_contamination_planted(spark):
     out = D.ngram_contamination(train, evals, "doc_id", "text", n=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_simhash_sql_equals_column_api(spark):
+    """The one-parse F.expr simhash fast path (round-6 driver-time fix)
+    must produce bit-identical signatures to the Column form for both
+    hash families, including empty and whitespace-only texts."""
+    rows = [(1, "alpha beta gamma"), (2, "alpha beta gamma delta"),
+            (3, ""), (4, "   "), (5, "one")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for fam, fn, bits in [("xxhash64", D.simhash, 64), ("md5", D.simhash_md5, 32)]:
+        col_form = {r["doc_id"]: r["s"] for r in
+                    df.select("doc_id", fn(F.col("text"), bits).alias("s")).collect()}
+        sql_form = {r["doc_id"]: r["s"] for r in
+                    df.select("doc_id", fn("text", bits).alias("s")).collect()}
+        assert col_form == sql_form, fam

@@ -432,16 +432,63 @@ def dedup_survivors(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     return df.join(losers, id_col, "left_anti")
 
 
-def simhash(col: Column, num_bits: int = 64) -> Column:
+def _simhash_sql(col_sql: str, num_bits: int, family: str) -> str:
+    """simhash/simhash_md5 as ONE SQL expression string: the same
+    fold/vote/pack tree the Column API builds (identical values), but
+    one F.expr parse instead of ~4 x num_bits py4j round-trips
+    (measured 2.8 s of pure driver time per doc_simhash_pairs build).
+    The token hash and the vote vector are each bound once via the
+    single-element-transform trick."""
+    if family == "xxhash64":
+        slots = ", ".join(
+            f"CAST((shiftright(h, {b}) & 1) * 2 - 1 AS BIGINT)" for b in range(num_bits)
+        )
+        hashed = f"transform(array(xxhash64(t)), h -> array({slots}))[0]"
+    elif family == "md5":
+        slots = ", ".join(
+            f"CAST((shiftright(CAST(conv(substring(h, {1 + j // 4}, 1), 16, 10) AS INT), {j % 4}) & 1) * 2 - 1 AS BIGINT)"
+            for j in range(num_bits)
+        )
+        hashed = f"transform(array(md5(t)), h -> array({slots}))[0]"
+    else:
+        raise ValueError(f"unknown simhash family {family!r}")
+    votes = (
+        f"aggregate(split(lower(trim({col_sql})), '\\\\s+'), "
+        f"array_repeat(CAST(0 AS BIGINT), {num_bits}), "
+        f"(acc, t) -> zip_with(acc, {hashed}, (a, v) -> a + v))"
+    )
+    packed = " + ".join(
+        f"(CASE WHEN element_at(v, {b + 1}) > 0 "
+        f"THEN shiftleft(CAST(1 AS BIGINT), {b}) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(num_bits)
+    )
+    return f"transform(array({votes}), v -> CAST({packed} AS BIGINT))[0]"
+
+
+def simhash(col, num_bits: int = 64) -> Column:
     """SimHash over whitespace tokens: per bit position, sum +-1 votes of
     each token's hash bit; the sign vector packs into a long. Pure
-    aggregate/zip_with — no UDF."""
+    aggregate/zip_with — no UDF. Pass a column NAME (str) for the
+    one-parse F.expr fast path (same values, no py4j literal tree)."""
+    if isinstance(col, str):
+        return F.expr(_simhash_sql(f"`{col}`", num_bits, "xxhash64"))
     toks = F.split(F.lower(F.trim(col)), r"\s+")
 
     def _bits_pm1(t):
+        # single-element transform binds the hash ONCE per token: the
+        # 64 slot expressions read the bound h instead of re-evaluating
+        # xxhash64(t) per bit — higher-order lambdas re-evaluate
+        # captured expressions per reference (the minhash_hash_family
+        # lesson; measured 64 hash evals/token before this).
         # shift amounts must be literal ints for shiftright
-        return F.array(
-            *[(F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long") for b in range(num_bits)]
+        return F.element_at(
+            F.transform(
+                F.array(F.xxhash64(t)),
+                lambda h: F.array(
+                    *[(F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long") for b in range(num_bits)]
+                ),
+            ),
+            1,
         )
 
     votes = F.aggregate(
@@ -457,22 +504,29 @@ def simhash(col: Column, num_bits: int = 64) -> Column:
     return packed
 
 
-def simhash_md5(col: Column, num_bits: int = 32) -> Column:
+def simhash_md5(col, num_bits: int = 32) -> Column:
     """SimHash variant whose per-token bits come from md5 hex digits
     instead of xxhash64 — md5 is the one 128-bit hash both Spark and
     DuckDB implement identically, so this variant is EXACTLY replayable
     as an oracle query (bit j of token t = (hexval(md5(t)[j/4]) >> (j%4))
     & 1). Same vote-and-pack construction as ``simhash``; use that
-    (xxhash64, 64-bit, no hex decode) as the production path."""
+    (xxhash64, 64-bit, no hex decode) as the production path. Pass a
+    column NAME (str) for the one-parse F.expr fast path."""
+    if isinstance(col, str):
+        return F.expr(_simhash_sql(f"`{col}`", num_bits, "md5"))
     toks = F.split(F.lower(F.trim(col)), r"\s+")
 
     def _bits_pm1(t):
-        h = F.md5(t)
-        bits = []
-        for j in range(num_bits):
-            d = F.conv(F.substring(h, 1 + j // 4, 1), 16, 10).cast("int")
-            bits.append(((F.shiftright(d, j % 4).bitwiseAND(F.lit(1))) * 2 - 1).cast("long"))
-        return F.array(*bits)
+        # bind md5(t) once per token (same re-evaluation trap as the
+        # xxhash64 variant: 32 references would mean 32 md5 evals)
+        def _slots(h):
+            bits = []
+            for j in range(num_bits):
+                d = F.conv(F.substring(h, 1 + j // 4, 1), 16, 10).cast("int")
+                bits.append(((F.shiftright(d, j % 4).bitwiseAND(F.lit(1))) * 2 - 1).cast("long"))
+            return F.array(*bits)
+
+        return F.element_at(F.transform(F.array(F.md5(t)), _slots), 1)
 
     votes = F.aggregate(
         toks,
@@ -505,13 +559,13 @@ def simhash_near_duplicates(
     distance within blocks. family='md5' (with num_bits<=32) is the
     oracle configuration — every step (md5 bit votes, prefix block,
     bit_count Hamming) replays in DuckDB SQL."""
-    sig = (
-        simhash(F.col(text_col), num_bits)
-        if family == "xxhash64"
-        else simhash_md5(F.col(text_col), num_bits)
-    )
+    sig = simhash(text_col, num_bits) if family == "xxhash64" else simhash_md5(text_col, num_bits)
     sigs = df.select(F.col(id_col).alias("__id"), sig.alias("__sim"))
     sigs = sigs.withColumn("__block", F.shiftrightunsigned(F.col("__sim"), num_bits - prefix_bits))
+    # the self-join reads sigs twice; persisting runs the vote fold
+    # once per row instead of once per side (the minhash cache_base
+    # precedent — bench harnesses clear the cache between samples)
+    sigs = sigs.persist()
     l, r = sigs.alias("l"), sigs.alias("r")
     return (
         l.join(r, on=[F.col("l.__block") == F.col("r.__block"), F.col("l.__id") < F.col("r.__id")])
