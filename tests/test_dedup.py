@@ -335,6 +335,36 @@ def test_ngram_contamination_planted(spark):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
 
 
+def test_exploded_word_ngrams_equals_array_form(spark):
+    """The codegen explode-of-positions gram build (round-6 rewrite of
+    the contamination scan) must produce the exact multiset of rows of
+    explode(word_ngrams(...)) — including mixed case, repeated grams,
+    <n-token, empty, whitespace-only, and NULL texts (no rows each)."""
+    df = spark.createDataFrame(
+        [
+            (1, "The quick BROWN fox jumps over the lazy dog"),
+            (2, "a b a b a b a b"),
+            (3, "one two"),
+            (4, ""),
+            (5, "   \t\n "),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    for n in (3, 5):
+        arr = sorted(
+            (r["doc_id"], r["g"])
+            for r in df.select(
+                "doc_id", F.explode(D.word_ngrams(F.col("text"), n)).alias("g")
+            ).collect()
+        )
+        new = sorted(
+            (r["doc_id"], r["__g"])
+            for r in D._exploded_word_ngrams(df, [F.col("doc_id")], "text", n).collect()
+        )
+        assert arr == new and len(arr) > 0
+
+
 def test_simhash_sql_equals_column_api(spark):
     """The one-parse F.expr simhash fast path (round-6 driver-time fix)
     must produce bit-identical signatures to the Column form for both

@@ -146,6 +146,35 @@ def test_langid_ngram_unknown_and_null(spark):
     assert got[1] == "unknown" and got[2] == "unknown"
 
 
+def test_detect_lang_ngram_over_equals_column_form(spark):
+    """The DataFrame-level explode+join+agg formulation (round-6 rewrite
+    of the langid hot path) must equal the Column fold row-for-row on
+    the full held-out corpus plus the edge rows: no-signal digits,
+    empty string, NULL text, whitespace-only, and sub-trigram text."""
+    from xsd2json_spark.functions.text import detect_lang_ngram, detect_lang_ngram_over
+
+    docs = [(i, t) for i, (_, t) in enumerate(_held_out_docs())]
+    docs += [
+        (1001, "0192 8374 !!!"),
+        (1002, ""),
+        (1003, None),
+        (1004, "   "),
+        (1005, "ab"),
+        (1006, "zzqx"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    col_form = {
+        r["doc_id"]: r["pred"]
+        for r in df.select("doc_id", detect_lang_ngram("text").alias("pred")).collect()
+    }
+    df_form = {
+        r["doc_id"]: r["pred"]
+        for r in detect_lang_ngram_over(df, ["doc_id"], "text", out_col="pred").collect()
+    }
+    assert col_form == df_form
+    assert df_form[1002] == "unknown" and df_form[1003] == "unknown"
+
+
 def test_build_lang_profiles_spark_matches_local(spark):
     """The distributed profile builder and the driver-side builder agree
     gram-for-gram on the same labeled corpus."""

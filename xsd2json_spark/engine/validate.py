@@ -38,7 +38,7 @@ import logging
 from dataclasses import dataclass, field
 from typing import Dict, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xsd2json_spark.engine.compile import compile_predicate
@@ -211,20 +211,49 @@ class ValidationEngine:
         # dup-hash set); handed to ValidationResult._cached so the
         # caller's unpersist() releases them. Reset per run().
         self._extra_cached: list = []
+        # plan-construction memos (see _pred / _row_counter_exprs /
+        # _sketch_exprs): unresolved Column trees, never results
+        self._pred_cache: dict = {}
+        self._row_counter_cache = None
+        self._sketch_cache: dict = {}
 
     # ------------------------------------------------------------------
     # row-level: ONE aggregation pass for verdict counters + stats sketch
     # ------------------------------------------------------------------
 
+    def _pred(self, c) -> Column:
+        """compile_predicate with a per-engine memo. A compiled predicate
+        is an immutable UNRESOLVED Column tree, safe to re-bind in any
+        plan over any frame, and building one costs dozens of py4j round
+        trips — a run() compiles each constraint up to three times (agg
+        counters, verdict pivot, violation rows), all driver wall-time
+        inside the caller's measured window. Keyed by object identity
+        with a strong ref to the constraint so the id cannot be
+        recycled."""
+        cache = self._pred_cache
+        hit = cache.get(id(c))
+        if hit is None:
+            cache[id(c)] = hit = (c, compile_predicate(c))
+        return hit[1]
+
     def _row_counter_exprs(self):
-        exprs, ids = [], []
-        for i, c in enumerate(self.spec.row_level()):
-            pred = compile_predicate(c)
-            exprs.append(F.sum((~pred).cast("long")).alias(f"__viol_{i}"))
-            ids.append(c.id)
-        return exprs, ids
+        """Memoized per engine: called by BOTH _agg_pass and
+        _verdicts_stats_from_agg (the latter only for the ids); the
+        Column aggregates are reusable unresolved trees (see _pred)."""
+        cached = self._row_counter_cache
+        if cached is None:
+            exprs, ids = [], []
+            for i, c in enumerate(self.spec.row_level()):
+                pred = self._pred(c)
+                exprs.append(F.sum((~pred).cast("long")).alias(f"__viol_{i}"))
+                ids.append(c.id)
+            cached = self._row_counter_cache = (exprs, ids)
+        return list(cached[0]), list(cached[1])
 
     def _sketch_exprs(self, force_approx: bool = False):
+        cached = self._sketch_cache.get(force_approx)
+        if cached is not None:
+            return list(cached)
         cfg = self.config
         exprs = []
         # aliases are keyed by POSITIONAL INDEX, not the expression text:
@@ -253,7 +282,8 @@ class ValidationEngine:
                     f"__st_{i}__quantiles"
                 ),
             ]
-        return exprs
+        self._sketch_cache[force_approx] = exprs
+        return list(exprs)
 
     def _agg_pass(self, df: DataFrame) -> DataFrame:
         """The single wide aggregation. Returns one row per partition_key
@@ -357,7 +387,7 @@ class ValidationEngine:
         if not row_cs:
             return self._empty_violations(keys)
         failed = F.array_compact(
-            F.array(*[F.when(~compile_predicate(c), F.lit(c.id)) for c in row_cs])
+            F.array(*[F.when(~self._pred(c), F.lit(c.id)) for c in row_cs])
         )
         key_cols = [F.col(k).cast("string").alias(k) for k in keys]
         return (
@@ -749,7 +779,7 @@ class ValidationEngine:
 
         cols = [F.col(n) for n in passthrough]
         for i, c in enumerate(row_cs):
-            cols.append((~compile_predicate(c)).alias(f"__fail_{i}"))
+            cols.append((~self._pred(c)).alias(f"__fail_{i}"))
         for i, w in enumerate(self.spec.watched_columns):
             wc = F.expr(w) if not w.isidentifier() else F.col(w)
             cols += [

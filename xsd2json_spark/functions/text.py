@@ -264,6 +264,70 @@ def detect_lang_ngram(col_name: str, profiles: "dict | None" = None) -> Column:
     return F.expr(detect_lang_ngram_sql(col_name, profiles))
 
 
+def detect_lang_ngram_over(
+    df: DataFrame,
+    keys,
+    text_col: str = "text",
+    profiles: "dict | None" = None,
+    out_col: str = "lang_detected",
+) -> DataFrame:
+    """detect_lang_ngram as a DataFrame-level explode + broadcast-join +
+    aggregate plan: the same value as the Column form for every row
+    (including NULL/short text -> 'unknown'), but the per-gram
+    map-lookup + 8-lane zip_with accumulator — a CodegenFallback
+    interpreted fold — becomes a codegen'd explode of (keys, gram),
+    a broadcast hash join against the literal (gram, lang, weight>0)
+    profile table, and two hash aggregations (per-lang score sum, then
+    struct-max argmax with the identical (score, lang) tie-break).
+    Docs with no profile gram drop out of the join and come back
+    'unknown' through the left join — exactly the Column form's
+    all-zero-scores branch, because every joined weight is strictly
+    positive (log(w/eps) with w > eps). Raw text never shuffles: the
+    explode ships 3-char grams keyed by ``keys`` only.
+    Returns one row per input row: (*keys, out_col)."""
+    import math
+
+    profiles = profiles if profiles is not None else default_lang_profiles()
+    langs = sorted(profiles)
+    eps = LANGID_EPS
+    wrows = [
+        (g, lg, math.log(profiles[lg][g] / eps))
+        for lg in langs
+        for g in sorted(profiles[lg])
+        if profiles[lg][g] > eps
+    ]
+    spark = df.sparkSession
+    wtab = spark.createDataFrame(wrows, schema="__g string, __lang string, __w double")
+    keys = list(keys)
+    norm = F.concat(
+        F.lit(" "), F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), F.lit(" ")
+    )
+    base = df.select(*keys, norm.alias("__nm"))
+    grams = (
+        base.filter(F.length("__nm") >= LANGID_N)
+        .select(
+            *keys,
+            F.explode(F.sequence(F.lit(1), F.length("__nm") - (LANGID_N - 1))).alias("__i"),
+            "__nm",
+        )
+        .select(*keys, F.col("__nm").substr(F.col("__i"), F.lit(LANGID_N)).alias("__g"))
+    )
+    scores = (
+        grams.join(F.broadcast(wtab), "__g")
+        .groupBy(*keys, "__lang")
+        .agg(F.sum("__w").alias("__s"))
+    )
+    best = scores.groupBy(*keys).agg(
+        F.max(F.struct(F.col("__s").alias("s"), F.col("__lang").alias("l"))).alias("__b")
+    )
+    return base.join(best, keys, "left").select(
+        *keys,
+        F.when(F.col("__b").isNotNull(), F.col("__b")["l"])
+        .otherwise(F.lit("unknown"))
+        .alias(out_col),
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text
     (rolling-hash analog, stable across reformatting)."""
