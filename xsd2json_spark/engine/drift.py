@@ -178,34 +178,43 @@ def psi_statistic_df(
         .groupBy(*gb, F.col(column).alias("__cat"))
         .agg(F.count(F.lit(1)).alias("__o"))
     )
-    b = baseline_df.select(F.col(column).alias("__cat"), F.col("n").alias("__b")).filter(
-        F.col("__cat").isNotNull()
+    # Round 6 shape: ONE reference to the observed counts. The previous
+    # spine (groups x baseline-cats union + three joins) re-expanded the
+    # obs subtree four times in the physical plan — 22 scans and 32
+    # exchanges for a category-sized statistic. Instead each group
+    # collapses to a single (cat -> count) map row (category-bounded,
+    # the documented collect discipline), the baseline aggregates to ONE
+    # broadcast row, and the psi sum folds over the union of the two
+    # key sets — same cells, same eps clips, 3 scans / 4 exchanges.
+    # Baseline (cat, n) rows must be distinct (every builder groups);
+    # novel observed cats read __b = 0, vanished baseline cats __o = 0.
+    gm = obs.groupBy(*gb).agg(
+        F.map_from_entries(F.collect_list(F.struct("__cat", "__o"))).alias("__m"),
+        F.sum("__o").alias("__n"),
     )
-    bt = b.agg(F.sum("__b").alias("__bt"))
-    n = obs.groupBy(*gb).agg(F.sum("__o").alias("__n"))
-    # union spine: every baseline category for every group, PLUS each
-    # group's observed-only (novel) categories — novel cells read
-    # __b = 0 and get the eps clip below
-    cats = (
-        n.select(*gb).crossJoin(F.broadcast(b.select("__cat")))
-        .unionByName(obs.select(*gb, "__cat"))
-        .dropDuplicates(gb + ["__cat"])
+    b1 = (
+        baseline_df.filter(F.col(column).isNotNull())
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col(column).alias("__cat"), F.col("n").alias("__b")))
+            ).alias("__bm"),
+            F.sum("n").alias("__bt"),
+        )
     )
-    spine = (cats.join(n, gb) if gb else cats.crossJoin(n)).join(
-        F.broadcast(b), "__cat", "left"
-    ).crossJoin(F.broadcast(bt))
-    j = spine.join(obs, gb + ["__cat"], "left").select(
+    j = gm.crossJoin(F.broadcast(b1))
+    cats = F.array_union(F.map_keys("__m"), F.map_keys("__bm"))
+
+    def term(c):
+        o = F.coalesce(F.element_at(F.col("__m"), c), F.lit(0))
+        bv = F.coalesce(F.element_at(F.col("__bm"), c), F.lit(0))
+        p_cur = F.greatest(o / F.col("__n"), F.lit(eps))
+        p_base = F.greatest(bv / F.col("__bt"), F.lit(eps))
+        return (p_cur - p_base) * F.log(p_cur / p_base)
+
+    return j.select(
         *gb,
-        F.coalesce(F.col("__o"), F.lit(0)).alias("__o"),
-        F.coalesce(F.col("__b"), F.lit(0)).alias("__b"),
-        "__n",
-        "__bt",
-    )
-    p_cur = F.greatest(F.col("__o") / F.col("__n"), F.lit(eps))
-    p_base = F.greatest(F.col("__b") / F.col("__bt"), F.lit(eps))
-    return j.groupBy(*gb).agg(
-        F.sum((p_cur - p_base) * F.log(p_cur / p_base)).alias("psi"),
-        F.count(F.lit(1)).alias("n_cats"),
+        F.aggregate(cats, F.lit(0.0), lambda acc, c: acc + term(c)).alias("psi"),
+        F.size(cats).cast("long").alias("n_cats"),
     )
 
 
