@@ -146,6 +146,33 @@ def test_langid_ngram_unknown_and_null(spark):
     assert got[1] == "unknown" and got[2] == "unknown"
 
 
+def test_mean_token_length_regex_equals_fold(spark):
+    """The round-6 regexp form (length after deleting ALL whitespace ==
+    sum of token lengths) must equal the per-token fold exactly —
+    tabs/newlines/multi-space runs, leading/trailing blanks, blank-only
+    and NULL text included."""
+    rows = [
+        (1, "ab cde f"),
+        (2, "  tab\tsep\twords  "),
+        (3, "line\nbreaks\r\nmixed   runs"),
+        (4, ""),
+        (5, "   \t\n "),
+        (6, None),
+        (7, "single"),
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    c = F.col("text")
+    toks = T.tokens(c)
+    fold = F.when(
+        F.size(toks) > 0,
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast("double")
+        / F.size(toks),
+    ).otherwise(F.lit(0.0))
+    got = df.select("i", T.mean_token_length(c).alias("new"), fold.alias("old")).collect()
+    for r in got:
+        assert r["new"] == r["old"], (r["i"], r["new"], r["old"])
+
+
 def test_detect_lang_ngram_over_equals_column_form(spark):
     """The DataFrame-level explode+join+agg formulation (round-6 rewrite
     of the langid hot path) must equal the Column fold row-for-row on

@@ -63,8 +63,11 @@ def punct_ratio(col: Column) -> Column:
 
 
 def mean_token_length(col: Column) -> Column:
+    # sum(length(token)) == length of the text with ALL whitespace
+    # deleted (tokens are exactly the maximal non-whitespace runs) —
+    # one codegen'd regexp instead of an interpreted per-token fold
     toks = tokens(col)
-    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    total = F.length(F.regexp_replace(col, WS, ""))
     return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
 
 
@@ -447,16 +450,17 @@ def top_ngram_ratio_over(
     keys = list(keys)
     toks_df = df.select(*keys, tokens(F.lower(F.col(text_col))).alias("__toks"))
     base = toks_df.select(*keys, (F.size("__toks") - (n - 1)).alias("__cnt"), "__toks")
-    grams = base.select(
-        *keys,
-        F.explode(
-            F.when(F.col("__cnt") <= 0, F.array().cast("array<string>")).otherwise(
-                F.transform(
-                    F.sequence(F.lit(1), F.col("__cnt")),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, n)),
-                )
-            )
-        ).alias("__g"),
+    # gram build via explode-of-positions + element_at/concat_ws — the
+    # whole-stage-codegen shape (the interpreted transform+slice fold
+    # it replaces is CodegenFallback; same rows: cnt<=0 docs produce no
+    # gram rows either way and come back 0.0 through the left join)
+    gram = F.concat_ws(
+        " ", *[F.element_at(F.col("__toks"), F.col("__i") + F.lit(j)) for j in range(n)]
+    )
+    grams = (
+        base.filter(F.col("__cnt") > 0)
+        .select(*keys, F.explode(F.sequence(F.lit(1), F.col("__cnt"))).alias("__i"), "__toks")
+        .select(*keys, gram.alias("__g"))
     )
     best = (
         grams.groupBy(*keys, "__g")
@@ -490,10 +494,11 @@ def quality_flags(
     to short synthetic docs via parameters."""
     toks = tokens(col)
     n_words = F.size(toks)
+    # sum(length(token)) == length after deleting ALL whitespace (the
+    # mean_token_length identity) — codegen'd, no per-token fold
     mean_wl = F.when(
         n_words > 0,
-        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
-        / n_words.cast("double"),
+        F.length(F.regexp_replace(col, WS, "")) / n_words.cast("double"),
     ).otherwise(F.lit(0.0))
     # symbol ratio per the published rule: '#' and '...' occurrences
     # over words (length difference after deleting the symbol — no
